@@ -1,0 +1,184 @@
+"""Quality-pipeline stages.
+
+Stage layout (SURVEY §3 rebuild lifecycle):
+
+1. ``make_langid_rules_fn``  — STATELESS task stage: language-ID heuristic +
+   the 9 rule checks + weighted rule score, one pass per row. The reference
+   runs these in a sequential driver loop (ref:main.py:280); here they are a
+   ``map_batches`` transform over zero-copy Arrow batches.
+2. ``FeatureScrubStage``     — ACTOR-POOL stage: DFA trie built once per actor
+   (43k-word production lists take ~1 s to build — ref:sensitive_filter.py:46-70
+   loads per process; we amortize per actor), emits feature check/score and the
+   byte-exact scrubbed text (EP2's two passes — ref:process_documents.py:40-59 —
+   fused into one).
+3. ``PplStage``              — ACTOR-POOL stage: n-gram LM loaded once per
+   actor (A6/A7 — ref:lmppl_perplexity.py:26-40 loads GPT-2 in __init__).
+4. ``make_score_fn``         — STATELESS: weight-normalized composite quality
+   score + keep decision, vectorized with numpy
+   (ref:main.py:219-251 with GENERAL_CONFIG weights).
+
+All stages consume and produce ``pyarrow.Table`` batches and only append
+columns — the input schema (conv_id, turn_idx, role, text, tool, ts) passes
+through untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from chinese_corpus_cleaning_ray.config import PipelineConfig
+from chinese_corpus_cleaning_ray.functions.features import FeatureWordsScorer
+from chinese_corpus_cleaning_ray.functions.langid import make_langid
+from chinese_corpus_cleaning_ray.functions.ngram_lm import NgramModel, PerplexityScorer
+from chinese_corpus_cleaning_ray.functions.rules import evaluate_rules_batch
+from chinese_corpus_cleaning_ray.functions.wordlists import load_words
+
+
+def _texts(batch: pa.Table) -> list[str]:
+    col = batch.column("text")
+    return col.to_pylist()
+
+
+def make_langid_rules_fn(cfg: PipelineConfig):
+    """Stateless batch fn: lang/lang_conf/is_zh + rule_* columns."""
+
+    def langid_rules(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        if cfg.enable_langid:
+            lid = make_langid(cfg.langid)  # heuristic: construction is free
+            lres = lid.predict_batch(texts)
+            batch = batch.append_column("lang", pa.array(lres["lang"], pa.string()))
+            batch = batch.append_column("lang_conf", pa.array(lres["lang_conf"], pa.float64()))
+            batch = batch.append_column("is_zh", pa.array(lres["is_zh"], pa.bool_()))
+        if cfg.enable_rule_filter:
+            rb = evaluate_rules_batch(texts, cfg.rule)
+            batch = batch.append_column("rule_pass", pa.array(rb["rule_pass"], pa.bool_()))
+            batch = batch.append_column("rule_score", pa.array(rb["rule_score"], pa.float64()))
+            batch = batch.append_column("rule_error", pa.array(rb["rule_error"], pa.bool_()))
+        return batch
+
+    return langid_rules
+
+
+class FeatureScrubStage:
+    """Actor-pool stage: one DFA trie + feature scorer per actor.
+
+    ``words`` may be a plain list, a ``ray.ObjectRef`` to one (broadcast via
+    ``ray.put`` on the driver — preferred for large production lists so the
+    list ships to each node once, not per task), or None → packaged list.
+    """
+
+    def __init__(self, cfg: PipelineConfig, words=None):
+        try:
+            import ray
+
+            if isinstance(words, ray.ObjectRef):
+                words = ray.get(words)
+        except ImportError:
+            pass
+        if words is None:
+            words = load_words(cfg.feature.feature_words_path)
+        self.cfg = cfg
+        self.scorer = FeatureWordsScorer(list(words), cfg.feature)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = _texts(batch)
+        n = len(texts)
+        f_pass = [False] * n
+        f_score = [0.0] * n
+        f_count = [0] * n
+        scrubbed = [""] * n
+        s_count = [0] * n
+        sc = self.scorer
+        dfa = sc.dfa
+        do_feat = cfg.enable_feature_words
+        do_scrub = cfg.enable_scrub
+        for i, text in enumerate(texts):
+            if do_feat:
+                passed, details = sc.check_feature_words(text)
+                f_pass[i] = passed
+                f_score[i] = sc.get_feature_score(text, matched=details["feature_words"])
+                f_count[i] = details["feature_count"]
+            if do_scrub:
+                out = dfa.filter(text)
+                scrubbed[i] = out
+                s_count[i] = f_count[i] if do_feat else len(dfa.detect(text))
+        if do_feat:
+            batch = batch.append_column("feature_pass", pa.array(f_pass, pa.bool_()))
+            batch = batch.append_column("feature_score", pa.array(f_score, pa.float64()))
+            batch = batch.append_column("feature_count", pa.array(f_count, pa.int32()))
+        if do_scrub:
+            batch = batch.append_column("scrubbed_text", pa.array(scrubbed, pa.string()))
+            batch = batch.append_column("sensitive_count", pa.array(s_count, pa.int32()))
+        return batch
+
+
+class PplStage:
+    """Actor-pool stage: n-gram perplexity (model loaded/trained once per actor).
+
+    ``model_path`` → NgramModel.load; else the model trains on the packaged
+    clean seed pool (deterministic, ~ms). Emits ppl + ppl_pass + ppl_score.
+    """
+
+    def __init__(self, cfg: PipelineConfig, model_path: str | None = None):
+        if model_path:
+            model = NgramModel.load(model_path)
+        else:
+            from chinese_corpus_cleaning_ray.sources.transcripts import CLEAN_SENTENCES
+
+            model = NgramModel(n=cfg.perplexity.order, alpha=cfg.perplexity.alpha).train(
+                list(CLEAN_SENTENCES)
+            )
+        self.scorer = PerplexityScorer(model, cfg.perplexity)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        ppl = [0.0] * len(texts)
+        ppl_pass = [False] * len(texts)
+        ppl_score = [0.0] * len(texts)
+        for i, text in enumerate(texts):
+            ok, details = self.scorer.check_perplexity(text)
+            ppl[i] = details["perplexity"]
+            ppl_pass[i] = ok
+            ppl_score[i] = self.scorer.get_perplexity_score(text)
+        batch = batch.append_column("ppl", pa.array(ppl, pa.float64()))
+        batch = batch.append_column("ppl_pass", pa.array(ppl_pass, pa.bool_()))
+        batch = batch.append_column("ppl_score", pa.array(ppl_score, pa.float64()))
+        return batch
+
+
+def make_score_fn(cfg: PipelineConfig):
+    """Composite quality score + keep decision, vectorized.
+
+    score = Σ w_i·s_i / Σ w_i over PRESENT components (ref:main.py:240-251);
+    keep = score ≥ quality_threshold (ref:main.py:209). A rule_error row
+    (empty text) is the reference's per-file error path → keep=False, score 0.
+    """
+
+    def score_decide(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        num = np.zeros(n)
+        den = 0.0
+        if cfg.enable_rule_filter:
+            num += cfg.weight_rule * np.asarray(batch.column("rule_score"))
+            den += cfg.weight_rule
+        if cfg.enable_feature_words:
+            num += cfg.weight_feature * np.asarray(batch.column("feature_score"))
+            den += cfg.weight_feature
+        if cfg.enable_perplexity and "ppl_score" in batch.column_names:
+            num += cfg.weight_perplexity * np.asarray(batch.column("ppl_score"))
+            den += cfg.weight_perplexity
+        q = num / den if den > 0 else np.zeros(n)
+        if cfg.enable_rule_filter:
+            err = np.asarray(batch.column("rule_error"))
+            q = np.where(err, 0.0, q)
+        else:
+            err = np.zeros(n, dtype=bool)
+        keep = (~err) & (q >= cfg.quality_threshold)
+        batch = batch.append_column("quality_score", pa.array(q, pa.float64()))
+        batch = batch.append_column("keep", pa.array(keep, pa.bool_()))
+        return batch
+
+    return score_decide
