@@ -1,44 +1,602 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing here
+calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query naming: every aggregate/computed column is named identically in the Ray
+implementation and the DuckDB oracle SQL. Float columns are either exact
+(integer-valued sums, single divisions of identical integers — bit-identical
+across engines) or omitted from oracled queries; approximate/stateful ops
+(MinHash dedup, full quality decision, scrub, IVF) have no oracle entry and
+get the driver's rows-only check — their strong gates live in tests/ (exact
+keep-label parity and byte-exact scrub vs the oracle restatement).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+_ZH_CLASS = "[一-鿿]"
+_URL_PATTERN = r"https?://\S+|www\.\S+|[a-zA-Z0-9][a-zA-Z0-9-]{1,61}[a-zA-Z0-9]\.[a-zA-Z]{2,}"
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Transcript derivation (deterministic, SQL-mirrored): documents → transcripts
+# ---------------------------------------------------------------------------
+
+_DERIVE_SQL = """
+    SELECT 'conv-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') AS conv_id,
+           CAST(doc_id // 97 AS BIGINT) AS turn_idx,
+           CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           text,
+           CASE WHEN doc_id % 3 = 2 THEN 'db_query' ELSE '' END AS tool,
+           doc_id
+    FROM documents
+"""
+
+
+def _derive_transcripts_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    conv = [f"conv-{d % 97:04d}" for d in doc_ids]
+    turn = [d // 97 for d in doc_ids]
+    role = [("user", "assistant", "tool")[d % 3] for d in doc_ids]
+    tool = ["db_query" if d % 3 == 2 else "" for d in doc_ids]
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int64()),
+            "role": pa.array(role, pa.string()),
+            "text": batch.column("text"),
+            "tool": pa.array(tool, pa.string()),
+            "doc_id": batch.column("doc_id"),
+        }
+    )
+
+
+def _transcripts_ds(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _derive_transcripts_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared per-text metric batch kernels (Python side of the SQL-mirrored ops)
+# ---------------------------------------------------------------------------
+
+def _rule_metrics_batch(batch: pa.Table) -> pa.Table:
+    import re
+
+    zh_re = re.compile(_ZH_CLASS)
+    url_re = re.compile(_URL_PATTERN)
+    texts = batch.column("text").to_pylist()
+    n = [len(t) for t in texts]
+    zh = [len(zh_re.findall(t)) for t in texts]
+    vbar = [t.count("|") for t in texts]
+    comma = [t.count(",") for t in texts]
+    url = [sum(1 for _ in url_re.finditer(t)) for t in texts]
+    avg_line = []
+    for t in texts:
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        avg_line.append(sum(len(ln) for ln in lines) / len(lines) if lines else None)
+    out = {
+        "n_chars": pa.array(n, pa.int64()),
+        "zh_chars": pa.array(zh, pa.int64()),
+        "vbar_count": pa.array(vbar, pa.int64()),
+        "comma_count": pa.array(comma, pa.int64()),
+        "url_count": pa.array(url, pa.int64()),
+        "avg_line_len": pa.array(avg_line, pa.float64()),
+        "length_pass": pa.array([x >= 100 for x in n], pa.bool_()),
+        "avg_line_pass": pa.array([a is not None and a >= 5.0 for a in avg_line], pa.bool_()),
+        "chinese_pass": pa.array(
+            [nn > 0 and (z / nn) >= 0.6 for z, nn in zip(zh, n)], pa.bool_()
+        ),
+        "vbar_pass": pa.array([nn > 0 and v / nn <= 0.005 for v, nn in zip(vbar, n)], pa.bool_()),
+        "comma_pass": pa.array([nn > 0 and c / nn <= 0.05 for c, nn in zip(comma, n)], pa.bool_()),
+        "url_pass": pa.array([nn > 0 and u / nn <= 0.01 for u, nn in zip(url, n)], pa.bool_()),
+    }
+    return pa.table(out)
+
+
+_RULE_METRIC_SQL_COLS = f"""
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars,
+           length(text) - length(replace(text, '|', '')) AS vbar_count,
+           length(text) - length(replace(text, ',', '')) AS comma_count,
+           length(regexp_extract_all(text, '{_URL_PATTERN.replace("'", "''")}')) AS url_count,
+           list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']) AS avg_line_len,
+           length(text) >= 100 AS length_pass,
+           COALESCE(list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']) >= 5.0, false) AS avg_line_pass,
+           (length(text) > 0 AND length(regexp_replace(text, '[^一-鿿]', '', 'g')) / length(text) >= 0.6) AS chinese_pass,
+           (length(text) > 0 AND (length(text) - length(replace(text, '|', ''))) / length(text) <= 0.005) AS vbar_pass,
+           (length(text) > 0 AND (length(text) - length(replace(text, ',', ''))) / length(text) <= 0.05) AS comma_pass,
+           (length(text) > 0 AND length(regexp_extract_all(text, '{_URL_PATTERN.replace("'", "''")}')) / length(text) <= 0.01) AS url_pass
+"""
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    from chinese_corpus_cleaning_ray.functions.langid import HeuristicLangId
+
+    lid = HeuristicLangId()
+    res = lid.predict_batch(batch.column("text").to_pylist())
+    return pa.table(
+        {
+            "lang": pa.array(res["lang"], pa.string()),
+            "lang_conf": pa.array(res["lang_conf"], pa.float64()),
+            "is_zh": pa.array(res["is_zh"], pa.bool_()),
+        }
+    )
+
+
+_LANGID_SQL_COLS = """
+           CASE WHEN length(text) < 10 THEN 'und'
+                WHEN length(regexp_replace(text, '[\\s\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) = 0 THEN 'und'
+                WHEN zh + lat = 0 THEN 'und'
+                WHEN zh / (zh + lat) >= 0.5 THEN 'zh' ELSE 'other' END AS lang,
+           CASE WHEN length(text) < 10 THEN 0.0
+                WHEN length(regexp_replace(text, '[\\s\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) = 0 THEN 0.0
+                WHEN zh + lat = 0 THEN 0.0
+                ELSE zh / (zh + lat) END AS lang_conf
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Mean("qty", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def _q_topk_users(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out = out.sort_values(["n_events", "user_id"], ascending=[False, True], kind="mergesort")
+    return out.head(10).reset_index(drop=True)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join: customer (small side) shipped once via ray.put,
+    looked up per batch — no shuffle (SURVEY §2.4 pattern)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        nk = [lookup[k] for k in batch.column("o_custkey").to_pylist()]
+        price_cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"c_nationkey": pa.array(nk, pa.int64()),
+                         "price_cents": price_cents})
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="order_count"), Sum("price_cents", alias_name="total_price_cents"))
+        .to_pandas()
+        .sort_values("c_nationkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out
+
+
+def _q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
+                         "event_id": batch.column("event_id")})
+
+    out = (
+        _read(sf_dir, "events", columns=["ts", "event_id"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .aggregate(Count(alias_name="n_events"),
+                   Min("event_id", alias_name="min_event_id"),
+                   Max("event_id", alias_name="max_event_id"))
+        .to_pandas()
+        .sort_values("hour_bucket", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def _q_event_type_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_doc_rule_metrics(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _rule_metrics_batch(batch)
+        return m.add_column(0, "doc_id", batch.column("doc_id"))
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_doc_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _langid_batch(batch).drop_columns(["is_zh"])
+        return m.add_column(0, "doc_id", batch.column("doc_id"))
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_doc_token_stats(sf_dir: str):
+    from chinese_corpus_cleaning_ray.functions.tokens import ws_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ws_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, id_col="doc_id").select_columns(["doc_id", "text"])
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _q_doc_distinct_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source"])
+    vals = sorted(ds.unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+def _q_doc_quality(sf_dir: str):
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = build_quality_pipeline(ds, DEFAULT_CONFIG).select_columns(
+        ["doc_id", "rule_pass", "rule_score", "feature_score", "quality_score", "keep"]
+    )
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _q_doc_scrub(sf_dir: str):
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = build_quality_pipeline(ds, DEFAULT_CONFIG).select_columns(
+        ["doc_id", "scrubbed_text", "sensitive_count"]
+    )
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _q_doc_minhash_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    deduped, _ = minhash_dedup(ds, id_col="doc_id")
+    return (
+        deduped.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.analysis import add_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_fingerprints(ds).select_columns(["doc_id", "fingerprint", "simhash"])
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = sorted(
+        (r for r in t.to_pylist() if r["vec_id"] < n), key=lambda r: r["vec_id"]
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def _q_knn_brute(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_brute
+
+    q = _query_vectors(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_brute(ds, q, k=10).to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[["query_id", "rank", "vec_id"]].copy()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+def _q_knn_ivf(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_ivf
+
+    q = _query_vectors(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_ivf(ds, q, k=10, nbits=4, expand=1).to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    return df[["query_id", "vec_id"]].astype("int64")
+
+
+def _q_transcripts_rule_metrics(sf_dir: str):
+    ds = _transcripts_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _rule_metrics_batch(batch)
+        m = m.add_column(0, "turn_idx", batch.column("turn_idx"))
+        return m.add_column(0, "conv_id", batch.column("conv_id"))
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_transcripts_langid(sf_dir: str):
+    ds = _transcripts_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _langid_batch(batch).drop_columns(["is_zh"])
+        m = m.add_column(0, "turn_idx", batch.column("turn_idx"))
+        return m.add_column(0, "conv_id", batch.column("conv_id"))
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_transcripts_quality(sf_dir: str):
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    out = build_quality_pipeline(_transcripts_ds(sf_dir), DEFAULT_CONFIG).select_columns(
+        ["conv_id", "turn_idx", "rule_score", "feature_score", "quality_score",
+         "keep", "scrubbed_text", "sensitive_count", "lang"]
+    )
+    return out.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def _q_transcripts_minhash_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import make_row_key, minhash_dedup
+
+    ds = _transcripts_ds(sf_dir).map_batches(
+        lambda b: make_row_key(b.set_column(
+            b.column_names.index("turn_idx"), "turn_idx",
+            pc.cast(b.column("turn_idx"), pa.int32()))),
+        batch_format="pyarrow",
+    )
+    deduped, _ = minhash_dedup(ds, id_col="row_key")
+    out = deduped.select_columns(["conv_id", "turn_idx"]).to_pandas()
+    out["turn_idx"] = out["turn_idx"].astype("int64")
+    return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "agg_pricing_summary": _q_pricing_summary,
+        "topk_users_by_events": _q_topk_users,
+        "join_orders_by_nation": _q_orders_by_nation,
+        "events_hourly": _q_events_hourly,
+        "event_type_counts": _q_event_type_counts,
+        "doc_rule_metrics": _q_doc_rule_metrics,
+        "doc_langid": _q_doc_langid,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_distinct_sources": _q_doc_distinct_sources,
+        "doc_quality": _q_doc_quality,
+        "doc_scrub": _q_doc_scrub,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "transcripts_rule_metrics": _q_transcripts_rule_metrics,
+        "transcripts_langid": _q_transcripts_langid,
+        "transcripts_quality": _q_transcripts_quality,
+        "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   AVG(CAST(l_quantity AS BIGINT)) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_users_by_events": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "join_orders_by_nation": """
+            SELECT c_nationkey,
+                   COUNT(*) AS order_count,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "events_hourly": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS min_event_id,
+                   MAX(event_id) AS max_event_id
+            FROM events GROUP BY hour_bucket ORDER BY hour_bucket
+        """,
+        "event_type_counts": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_rule_metrics": f"""
+            SELECT doc_id, {_RULE_METRIC_SQL_COLS}
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_langid": f"""
+            SELECT doc_id, {_LANGID_SQL_COLS}
+            FROM (SELECT doc_id, text,
+                         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
+                         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "doc_distinct_sources": """
+            SELECT DISTINCT source FROM documents ORDER BY source
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+                     SELECT q.qid, e.vec_id,
+                            list_cosine_similarity(e.embedding, q.qe) AS cos
+                     FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                     SELECT qid, vec_id,
+                            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                     FROM scored)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
+            FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "transcripts_rule_metrics": f"""
+            SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}
+            FROM ({_DERIVE_SQL})
+            ORDER BY conv_id, turn_idx
+        """,
+        "transcripts_langid": f"""
+            SELECT conv_id, turn_idx, {_LANGID_SQL_COLS}
+            FROM (SELECT conv_id, turn_idx, text,
+                         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
+                         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
+                  FROM ({_DERIVE_SQL}))
+            ORDER BY conv_id, turn_idx
+        """,
+        # doc_quality / doc_scrub / doc_minhash_dedup / doc_fingerprints /
+        # knn_ivf / transcripts_quality / transcripts_minhash_dedup:
+        # non-SQL-expressible (stateful trie scan, weighted scoring quirks,
+        # MinHash permutations, LSH buckets) — rows-only driver check; strong
+        # parity gates live in tests/test_pipeline_parity.py (exact labels,
+        # byte-exact scrub vs the independent oracle).
+    }
+
+
+# ---------------------------------------------------------------------------
+# entry()
+# ---------------------------------------------------------------------------
+
+def entry() -> Any:
+    """Flagship pipeline at sf0.001: derive transcripts from the documents
+    table, run langid + rules + feature/scrub + composite keep decision.
+    Returns the lazy Dataset (driver smoke-checks rows ≥ 0 + stable schema)."""
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    ds = _transcripts_ds("/root/testdata/sf0.001")
+    return build_quality_pipeline(ds, DEFAULT_CONFIG)

@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Headline: the flagship checkpointed quality job (read → langid+rules →
+feature/scrub actor pool → score → Hive-partitioned write + manifests) over a
+deterministic 1M-turn synthetic transcript corpus (cached under /tmp).
+Secondary: wall time of representative queries() entries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "turns_per_sec": ..., "queries": {...}, "sf": ..., "num_cpus": N}
+
+`python bench.py --scaling` runs the headline job at num_cpus=8 and 32 in
+fresh processes on the SAME corpus and reports throughputs + efficiency
+(the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_TURNS = int(os.environ.get("CCC_BENCH_TURNS", "1000000"))
+SEED = 42
+
+
+def _corpus_dir() -> str:
+    return f"/tmp/ccc_bench/transcripts_{BENCH_TURNS}_{SEED}"
+
+
+def prepare_corpus() -> str:
+    from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
+
+    return write_transcripts(_corpus_dir(), BENCH_TURNS, seed=SEED, rows_per_file=100_000)
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    corpus = prepare_corpus()
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    cfg = DEFAULT_CONFIG
+
+    out_dir = f"/tmp/ccc_bench/out_{num_cpus}_{int(time.time())}"
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus).head(100)
+
+    t0 = time.perf_counter()
+    stats = run_quality_job(corpus, out_dir, cfg, resume=False)
+    headline = time.perf_counter() - t0
+    assert stats["total"] == BENCH_TURNS, stats
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # representative queries over the sf tables (skipped in scaling children —
+    # the scaling criterion measures the headline job only)
+    qtimes: dict[str, float] = {}
+    if not os.environ.get("CCC_BENCH_SCALING_CHILD"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        for name in ("agg_pricing_summary", "join_orders_by_nation", "events_hourly",
+                     "doc_quality", "doc_minhash_dedup", "knn_brute",
+                     "transcripts_quality"):
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end_to_end_filter_scrub_1M_turns",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "turns_per_sec": round(BENCH_TURNS / headline, 1),
+        "bench_turns": BENCH_TURNS,
+        "counters": stats,
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> dict:
+    """Same corpus + job at num_cpus=8 then 32, fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), CCC_BENCH_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_filter_scrub",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "bench_turns": r_lo["bench_turns"],
+        "cpu_ratio": hi / lo,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

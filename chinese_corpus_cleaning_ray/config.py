@@ -89,14 +89,19 @@ class PipelineConfig:
 
     # --- execution knobs (ours; no reference analogue — it is single-process) ---
     num_partitions: int = 64          # hash(conv_id) checkpoint partitions
-    batch_size: int = 2048            # rows per map_batches call in text stages
-    scrub_actors: int = 8             # actor-pool size of the trie stage
-    ppl_actors: int = 4               # actor-pool size of the perplexity stage
+    batch_size: int = 4096            # rows per map_batches call in text stages
+    # Fixed actor-pool sizes; None → auto: cluster CPUs - 4 (autoscaling pools
+    # measured 40% slower — they under-provision under steady load).
+    scrub_actors: int | None = None
+    ppl_actors: int | None = None
+    # keep the original text column in the checkpointed output (doubles the
+    # output-shuffle payload; the scrubbed_text column is always kept)
+    keep_original_text: bool = False
 
     def config_hash(self) -> str:
         """Stable hash over semantic fields — stamped into checkpoint manifests."""
         d = asdict(self)
-        for k in ("num_partitions", "batch_size", "scrub_actors", "ppl_actors"):
+        for k in ("num_partitions", "batch_size", "scrub_actors", "ppl_actors", "keep_original_text"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True, ensure_ascii=False).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

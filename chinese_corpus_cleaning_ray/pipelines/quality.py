@@ -21,6 +21,9 @@ from chinese_corpus_cleaning_ray.stages.quality_stages import (
 )
 
 
+from chinese_corpus_cleaning_ray.stages.pools import resolve_pool as _pool_size
+
+
 def build_quality_pipeline(
     ds,
     cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -46,7 +49,7 @@ def build_quality_pipeline(
             fn_constructor_kwargs={"cfg": cfg, "words": words},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.scrub_actors),
+            concurrency=_pool_size(cfg.scrub_actors),
             num_cpus=1,
         )
     if cfg.enable_perplexity:
@@ -55,7 +58,7 @@ def build_quality_pipeline(
             fn_constructor_kwargs={"cfg": cfg, "model_path": ppl_model_path},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.ppl_actors),
+            concurrency=_pool_size(cfg.ppl_actors),
             num_cpus=1,
         )
     ds = ds.map_batches(make_score_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -1,0 +1,229 @@
+"""Distributed deduplication stages.
+
+Re-expression of the reference's corpus-level duplicate detection (embedding +
+DBSCAN over an O(n²) cosine matrix, disabled by default —
+ref:text_quality_filter/utils/clustering.py:68-90,127-185) as shuffle-friendly
+Ray Data plans (SURVEY §2.6 D4):
+
+- ``exact_dedup``    — content-hash groupby, keep the member with the minimum
+  id (deterministic "first occurrence" independent of arrival order).
+- ``minhash_dedup``  — char-shingle MinHash signatures per row (actor pool,
+  numpy-vectorized) → flat_map to (band_id, band_hash) bucket rows → groupby
+  over bands → mark every non-minimal member of a bucket as duplicate →
+  remove marked rows.
+- ``simhash_mark``   — 64-bit SimHash column for downstream Hamming bucketing.
+- ``ngram_jaccard_pairs`` — verification kernel: exact Jaccard over shingle
+  sets for candidate pairs (used to confirm MinHash candidates).
+
+Partitioning assumptions (documented per the build brief):
+- grouping always happens on a COARSE shard of the hash key (256 shards by
+  default), never one group per bucket: per-group Python overhead at tens of
+  thousands of groups dominates otherwise. Bucket-level logic is vectorized
+  pandas inside each shard. Shard count is the knob to keep a shard within
+  worker memory at scale.
+- the duplicate-key set is assumed ≪ input size. ``strategy="broadcast"``
+  collects it to the driver and broadcasts via ``ray.put``;
+  ``strategy="join"`` keeps it distributed and uses a hash left-join +
+  null-filter (anti-join) — choose it when dup keys may not fit the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from chinese_corpus_cleaning_ray.functions.dedup import (
+    MinHasher,
+    band_hashes,
+    char_shingles,
+    jaccard,
+    simhash64,
+    text_hash64,
+)
+
+
+def make_row_key(batch: pa.Table) -> pa.Table:
+    """Composite sortable key ``conv_id#turn_idx(zero-padded)`` for transcript
+    tables — lexicographic order == (conv_id, turn_idx) order."""
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_pylist()
+    keys = [f"{c}#{t:010d}" for c, t in zip(conv, turn)]
+    return batch.append_column("row_key", pa.array(keys, pa.string()))
+
+
+def add_text_hash(ds, text_col: str = "text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = [text_hash64(t) for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup(ds, id_col: str, text_col: str = "text", shards: int = 256):
+    """Keep the min-``id_col`` row per distinct text.
+
+    Shuffle key is a COARSE shard of the 64-bit content hash, not the hash
+    itself: ``groupby.map_groups`` pays ~0.3 ms of per-group Python overhead,
+    so one group per distinct text is pathological (measured 20s for 80k
+    groups). One group per shard + a vectorized pandas dedup inside is ~100×
+    cheaper. All copies of a text share its hash ⇒ share its shard. Size
+    ``shards`` so input/shards fits a worker (more shards at scale)."""
+    ds = add_text_hash(ds, text_col)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        # shards must be a power of two: shard = hash & (shards-1)
+        shard = pc.bit_wise_and(batch.column("text_hash"), shards - 1)
+        return batch.append_column("shard", pc.cast(shard, pa.int32()))
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col], kind="mergesort")
+        g = g.drop_duplicates(subset=[text_col], keep="first")
+        return g.drop(columns=["text_hash", "shard"])
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+class MinHashStage:
+    """Actor-pool stage: per-row MinHash signature + LSH band bucket rows.
+
+    Emits one row per (input row × band): (id, band_id, band_hash). The hasher
+    (permutation coefficients) is built once per actor."""
+
+    def __init__(self, id_col: str, text_col: str = "text", num_perm: int = 64,
+                 num_bands: int = 16, shingle_k: int = 5, seed: int = 42):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_bands = num_bands
+        self.shingle_k = shingle_k
+        self.hasher = MinHasher(num_perm=num_perm, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from chinese_corpus_cleaning_ray.functions.dedup import band_hashes_batch
+
+        texts = batch.column(self.text_col).to_pylist()
+        shingle_arrays = [char_shingles(t, self.shingle_k) for t in texts]
+        sigs = self.hasher.signatures_batch(shingle_arrays)  # (n, P)
+        bands = band_hashes_batch(sigs, self.num_bands)  # (n, B) int64
+        n = len(texts)
+        ids = batch.column(self.id_col)
+        # one output row per (row, band): repeat ids, tile band indices
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.num_bands))
+        return pa.table(
+            {
+                self.id_col: ids.take(rep_idx),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bands.ravel()),
+            }
+        )
+
+
+def minhash_dedup(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    strategy: str = "broadcast",
+    concurrency=8,
+):
+    """Returns (deduped_ds, dup_ids_list_or_ds). A row is a duplicate when ANY
+    LSH band bucket contains a row with a smaller id."""
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm,
+            num_bands=num_bands, shingle_k=shingle_k, seed=seed,
+        ),
+        batch_format="pyarrow",
+        concurrency=resolve_pool(concurrency),
+        num_cpus=1,
+    )
+
+    # Coarse-shard the bucket space (see exact_dedup): group per shard, then a
+    # vectorized groupby-transform("min") marks every non-minimal member of
+    # each (band_id, band_hash) bucket. band_hash determines the shard, so a
+    # bucket never splits across shards.
+    shards = 256
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        # shards must be a power of two: shard = hash & (shards-1)
+        shard = pc.bit_wise_and(batch.column("band_hash"), shards - 1)
+        return batch.append_column("shard", pc.cast(shard, pa.int32()))
+
+    def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
+        mins = group.groupby(["band_id", "band_hash"])[id_col].transform("min")
+        return group.loc[group[id_col] != mins, [id_col]]
+
+    dup_ids_ds = (
+        bands.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark_dups, batch_format="pandas")
+    )
+
+    if strategy == "join":
+        # distributed anti-join: distinct dup ids + flag → left join → keep null flags
+        marker = dup_ids_ds.groupby(id_col).map_groups(
+            lambda g: g.head(1).assign(__dup=np.int8(1)), batch_format="pandas"
+        )
+        joined = ds.join(
+            marker,
+            join_type="left_outer",
+            num_partitions=8,
+            on=(id_col,),
+            right_suffix="_dup",
+        )
+
+        def keep_nondup(batch: pa.Table) -> pa.Table:
+            mask = pc.is_null(batch.column("__dup"))
+            return batch.filter(mask).drop_columns(["__dup"])
+
+        return joined.map_batches(keep_nondup, batch_format="pyarrow"), dup_ids_ds
+
+    # broadcast strategy: collect distinct dup ids (assumed small), filter
+    # inline. NB: to_pandas, not take_all — row iteration over many small
+    # blocks costs ~0.5 ms/row; the columnar pull is ~100× faster.
+    dup_ids = sorted(set(dup_ids_ds.to_pandas()[id_col]))
+    if not dup_ids:
+        return ds, []
+    try:
+        import ray
+
+        dup_ref = ray.put(frozenset(dup_ids))
+    except Exception:
+        dup_ref = frozenset(dup_ids)
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dups = dup_ref
+        if isinstance(dups, _ray.ObjectRef):
+            dups = _ray.get(dups)
+        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_ids
+
+
+def simhash_mark(ds, text_col: str = "text", k: int = 3):
+    def fn(batch: pa.Table) -> pa.Table:
+        sims = [simhash64(t, k) for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("simhash", pa.array(sims, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> list[float]:
+    """Exact shingle-Jaccard for candidate verification (row-local kernel)."""
+    return [jaccard(char_shingles(a, k), char_shingles(b, k)) for a, b in zip(texts_a, texts_b)]

