@@ -34,7 +34,9 @@ def _corpus_dir() -> str:
 def prepare_corpus() -> str:
     from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
 
-    return write_transcripts(_corpus_dir(), BENCH_TURNS, seed=SEED, rows_per_file=100_000)
+    # many small shards: parallelism = shards (block = shard in the streaming
+    # writer), matching the production many-files shape
+    return write_transcripts(_corpus_dir(), BENCH_TURNS, seed=SEED, rows_per_file=25_000)
 
 
 def run_bench() -> dict:

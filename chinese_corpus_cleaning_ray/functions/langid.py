@@ -52,13 +52,25 @@ class HeuristicLangId:
         return (lang, conf, is_zh)
 
     def predict_batch(self, texts: list[str]) -> dict[str, list]:
-        langs, confs, is_zh = [], [], []
-        for t in texts:
-            lg, cf, z = self.predict(t)
-            langs.append(lg)
-            confs.append(cf)
-            is_zh.append(z)
-        return {"lang": langs, "lang_conf": confs, "is_zh": is_zh}
+        """Vectorized batch path, value-identical to ``predict`` (asserted in
+        tests): the cleaned-empty guard is redundant in batch form because a
+        cleaned-empty text necessarily has zh+latin == 0, and both branches
+        return ("und", 0.0, False)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(texts, pa.large_string())
+        n = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+        zh = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = pc.count_substring_regex(arr, "[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.float64)
+        base = zh + lat
+        valid = (n >= 10) & (base > 0)
+        conf = np.where(valid, zh / np.where(base > 0, base, 1.0), 0.0)
+        majority = conf >= self.cfg.zh_majority
+        lang = np.where(~valid, "und", np.where(majority, "zh", "other"))
+        is_zh = valid & majority & (conf >= self.cfg.threshold)
+        return {"lang": lang.tolist(), "lang_conf": conf.tolist(), "is_zh": is_zh.tolist()}
 
 
 class FastTextLangId:

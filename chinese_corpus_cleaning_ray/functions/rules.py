@@ -43,6 +43,14 @@ EMOJI_RE = re.compile(
     r"\U0001F900-\U0001F9FF\U0001FA00-\U0001FA6F\U0001FA70-\U0001FAFF"
     r"\U00002702-\U000027B0\U000024C2-\U0001F251]+"
 )
+# RE2 variant for pyarrow kernels: RE2 has no \UXXXXXXXX escape, so the class
+# is spelled with literal characters (non-raw string → Python decodes them).
+EMOJI_RE2_PATTERN = (
+    "[\U0001F600-\U0001F64F\U0001F300-\U0001F5FF\U0001F680-\U0001F6FF"
+    "\U0001F700-\U0001F77F\U0001F780-\U0001F7FF\U0001F800-\U0001F8FF"
+    "\U0001F900-\U0001F9FF\U0001FA00-\U0001FA6F\U0001FA70-\U0001FAFF"
+    "\U00002702-\U000027B0\U000024C2-\U0001F251]+"
+)
 # SEO spam patterns used by the obvious-spam downweight — ref:rule_filter.py:387-395.
 SEO_SPAM_RES = [
     re.compile(p)
@@ -207,6 +215,132 @@ def evaluate_rules(text: str, cfg: RuleConfig) -> dict:
         "rule_pass": all(checks),
         "rule_score": score,
         "rule_error": error,
+    }
+
+
+def evaluate_rules_arrow(texts: list[str], cfg: RuleConfig) -> dict:
+    """Arrow/numpy-vectorized batch evaluation — semantically identical to the
+    scalar path (asserted over the full fixture mix in tests/test_rules.py).
+
+    Vectorization notes:
+    - zh / url / emoji / SEO-spam counts run through pyarrow's RE2 kernels.
+      The character classes used are RE2↔Python-re equivalent (plain ranges;
+      alternation is leftmost-first in both; verified against DuckDB's RE2 in
+      tests/test_driver_contract.py). The SYMBOL class ``[^\\w\\s一-鿿]`` relies
+      on Python's unicode ``\\w`` and stays per-row Python.
+    - the 13-gram dup ratio uses a rolling 64-bit polynomial hash +
+      ``np.unique`` instead of a Python set of string slices. A hash collision
+      (probability ≈ n²/2⁶⁴ per document) could nudge the ratio by 1/total;
+      the weighted-score formulas are not at measure-zero boundaries, so this
+      is value-identical in practice and ~10× faster on long rows.
+    - score formulas are straight numpy ``where`` translations of
+      ref:rule_filter.py:262-404 over the cached statistics.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.functions.dedup import _codepoints
+
+    arr = pa.array(texts, pa.large_string())
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    zh = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False).astype(np.float64)
+    vbar = pc.count_substring(arr, "|").to_numpy(zero_copy_only=False).astype(np.float64)
+    comma = pc.count_substring(arr, ",").to_numpy(zero_copy_only=False).astype(np.float64)
+    url = pc.count_substring_regex(arr, URL_RE.pattern).to_numpy(zero_copy_only=False).astype(np.float64)
+    emoji = pc.count_substring_regex(arr, EMOJI_RE2_PATTERN).to_numpy(zero_copy_only=False).astype(np.float64)
+    seo_hit = (
+        pc.count_substring_regex(arr, "|".join(p.pattern for p in SEO_SPAM_RES))
+        .to_numpy(zero_copy_only=False) > 0
+    )
+    has_nl = pc.count_substring(arr, "\n").to_numpy(zero_copy_only=False) > 0
+
+    rows = len(texts)
+    sym = np.empty(rows)
+    dup = np.zeros(rows)  # 0 ⇔ no dup or short text (dup check passes at 0 anyway... see mask)
+    dup_applicable = n >= 13
+    avg_line = np.full(rows, np.nan)
+    for i, text in enumerate(texts):
+        sym[i] = len(SYMBOL_RE.findall(text))
+        if dup_applicable[i]:
+            ln = len(text)
+            if ln <= 512:
+                # short rows: a set of slices beats 13 numpy calls' overhead
+                total = ln - 12
+                dup[i] = 1.0 - len({text[j : j + 13] for j in range(total)}) / total
+            else:
+                codes = _codepoints(text)
+                m = len(codes) - 12
+                acc = np.zeros(m, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    base = np.uint64(1000003)
+                    for k in range(13):
+                        acc = acc * base + codes[k : m + k]
+                dup[i] = 1.0 - np.unique(acc).size / m
+        if has_nl[i]:
+            lines = [ln for ln in text.split("\n") if ln.strip()]
+            avg_line[i] = sum(len(ln) for ln in lines) / len(lines) if lines else np.nan
+        else:
+            avg_line[i] = n[i] if text.strip() else np.nan
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nz = np.where(n > 0, n, 1.0)
+        zh_r, sym_r = zh / nz, sym / nz
+        vbar_r, comma_r, url_r, emoji_r = vbar / nz, comma / nz, url / nz, emoji / nz
+        pos = n > 0
+        has_lines = ~np.isnan(avg_line)
+
+        length_ok = n >= cfg.min_text_length
+        avg_ok = has_lines & (np.nan_to_num(avg_line) >= cfg.min_avg_line_length)
+        zh_ok = pos & (zh_r >= cfg.min_chinese_ratio)
+        sym_ok = pos & (sym_r <= cfg.max_symbol_ratio)
+        dup_ok = ~dup_applicable | (dup <= cfg.max_internal_dup_ratio)
+        vbar_ok = pos & (vbar_r <= cfg.max_vertical_bar_ratio)
+        comma_ok = pos & (comma_r <= cfg.max_comma_ratio)
+        url_ok = pos & (url_r <= cfg.max_url_density)
+        emoji_ok = pos & (emoji_r <= cfg.max_emoji_ratio)
+        all_ok = (length_ok & avg_ok & zh_ok & sym_ok & dup_ok
+                  & vbar_ok & comma_ok & url_ok & emoji_ok)
+        err = n == 0  # reference get_rule_score raises on empty text
+
+        # weighted partial scores — ref:rule_filter.py:275-373
+        s = np.empty((9, rows))
+        s[0] = np.where(length_ok, 1.0, np.minimum(1.0, n / cfg.min_text_length))
+        s[1] = np.where(avg_ok, 1.0,
+                        np.where(has_lines,
+                                 np.minimum(1.0, np.nan_to_num(avg_line) / cfg.min_avg_line_length),
+                                 0.0))
+        s[2] = np.where(zh_ok, 1.0, np.minimum(1.0, zh_r / cfg.min_chinese_ratio))
+        s[3] = np.where(sym_ok, 1.0,
+                        np.where(sym_r == 0, 1.0,
+                                 np.clip(cfg.max_symbol_ratio / np.where(sym_r > 0, sym_r, 1.0), 0.0, 1.0)))
+        s[4] = np.where(dup_ok, 1.0,
+                        np.clip(cfg.max_internal_dup_ratio / np.where(dup > 0, dup, 1.0), 0.0, 1.0))
+        s[5] = np.where(vbar_ok, 1.0,
+                        np.clip(cfg.max_vertical_bar_ratio / np.where(vbar_r > 0, vbar_r, 1.0), 0.0, 0.5))
+        s[6] = np.where(comma_ok, 1.0,
+                        np.clip(cfg.max_comma_ratio / np.where(comma_r > 0, comma_r, 1.0), 0.0, 1.0))
+        s[7] = np.where(url_ok, 1.0,
+                        np.clip(cfg.max_url_density / np.where(url_r > 0, url_r, 1.0), 0.0, 0.3))
+        s[8] = np.where(emoji_ok, 1.0,
+                        np.clip(cfg.max_emoji_ratio / np.where(emoji_r > 0, emoji_r, 1.0), 0.0, 1.0))
+        weighted = (np.asarray(_WEIGHTS) @ s) / sum(_WEIGHTS)
+
+        spam = ((vbar > 0) & (vbar_r > cfg.max_vertical_bar_ratio * 2)) | (
+            url_r > cfg.max_url_density * 3
+        ) | seo_hit
+        score = np.where(all_ok, 1.0, np.where(spam, weighted * 0.3, weighted))
+        score = np.where(err, 0.0, score)
+
+    return {
+        "rule_pass": all_ok,
+        "rule_score": score,
+        "rule_error": err,
+        "checks": {
+            "length": length_ok, "avg_line": avg_ok, "chinese": zh_ok,
+            "symbol": sym_ok, "dup": dup_ok, "vbar": vbar_ok,
+            "comma": comma_ok, "url": url_ok, "emoji": emoji_ok,
+        },
     }
 
 

@@ -285,7 +285,7 @@ def write_transcripts(
     """Shard the synthetic table into ``out_dir`` (idempotent: skipped when the
     directory already holds the matching _meta marker)."""
     meta_path = os.path.join(out_dir, "_meta.txt")
-    marker = f"n={n} seed={seed} skew={int(skew)} v=1"
+    marker = f"n={n} seed={seed} skew={int(skew)} rpf={rows_per_file} v=2"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if f.read().strip() == marker:

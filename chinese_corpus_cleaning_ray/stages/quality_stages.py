@@ -31,7 +31,7 @@ from chinese_corpus_cleaning_ray.config import PipelineConfig
 from chinese_corpus_cleaning_ray.functions.features import FeatureWordsScorer
 from chinese_corpus_cleaning_ray.functions.langid import make_langid
 from chinese_corpus_cleaning_ray.functions.ngram_lm import NgramModel, PerplexityScorer
-from chinese_corpus_cleaning_ray.functions.rules import evaluate_rules_batch
+from chinese_corpus_cleaning_ray.functions.rules import evaluate_rules_arrow
 from chinese_corpus_cleaning_ray.functions.wordlists import load_words
 
 
@@ -52,10 +52,10 @@ def make_langid_rules_fn(cfg: PipelineConfig):
             batch = batch.append_column("lang_conf", pa.array(lres["lang_conf"], pa.float64()))
             batch = batch.append_column("is_zh", pa.array(lres["is_zh"], pa.bool_()))
         if cfg.enable_rule_filter:
-            rb = evaluate_rules_batch(texts, cfg.rule)
-            batch = batch.append_column("rule_pass", pa.array(rb["rule_pass"], pa.bool_()))
+            rb = evaluate_rules_arrow(texts, cfg.rule)
+            batch = batch.append_column("rule_pass", pa.array(rb["rule_pass"]))
             batch = batch.append_column("rule_score", pa.array(rb["rule_score"], pa.float64()))
-            batch = batch.append_column("rule_error", pa.array(rb["rule_error"], pa.bool_()))
+            batch = batch.append_column("rule_error", pa.array(rb["rule_error"]))
         return batch
 
     return langid_rules

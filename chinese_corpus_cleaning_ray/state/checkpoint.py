@@ -1,23 +1,36 @@
-"""Per-partition checkpointing with lineage + counters.
+"""Per-shard checkpointing with lineage + counters — shuffle-free.
 
 The reference README promises JSON checkpoints but the code has none
 (ref:README.md:75-81 vs ref:process_documents.py — SURVEY §0); the only real
 resume in the repo is HTTP byte-Range resume (ref:Crawl_Page/download_warcfile.py:20-33).
-This module supplies the real thing, as required by the north rule:
+This module supplies the real thing, as required by the north rule.
 
-- deterministic partition ids: ``crc32(conv_id) % num_partitions`` — every row
-  of a conversation lands in one partition, so per-conversation semantics
-  survive resume and re-partitioning;
-- Hive-partitioned output ``data/part_id=N/*.parquet`` via
-  ``write_parquet(partition_cols=["part_id"])``;
-- one manifest ``_manifest/part-N.json`` per completed partition holding row
-  counters (total/kept/errors/scrubbed), the config hash and the input
-  fingerprint — written only AFTER the partition's data files exist, by
-  reading the counters back from the written output (column-pruned read, so
-  the pipeline is never executed twice);
-- resume: partitions with a manifest are filtered out of the input with a
-  vectorized mask before the plan runs; data directories of incomplete
-  partitions (files but no manifest — a crash mid-write) are deleted first so
+Design (v2 — replaced an earlier groupby(part_id) sort-shuffle writer):
+
+- **Unit of work / resume granularity = input file (shard).** Each pending
+  file streams through the pipeline and its output is written by the SAME
+  tasks that computed it — no all-to-all exchange anywhere in the job. The
+  sort-shuffle writer spent ~40% of wall time in the exchange and scaled at
+  0.57 efficiency 8→32 CPUs; this design keeps the plan fully pipelined.
+- **Output layout stays hash-partitioned by conversation:**
+  ``data/part_id=N/<input-stem>-<uuid>.parquet`` where
+  ``part_id = crc32(conv_id) % num_partitions``. All turns of a conversation
+  land in one directory regardless of which input file carried them, so
+  conversation-level consumers read one directory. Pieces are sorted by
+  (conv_id, turn_idx) internally.
+- **Skew immunity:** a hot conv_id (half the corpus in one conversation)
+  inflates one output DIRECTORY but never one task — work is balanced by
+  input blocks, not by key. (The groupby writer funneled a hot partition
+  into a single reduce task.)
+- **Manifests:** one ``_manifest/file-<stem>.json`` per completed input file
+  with row counters (total/kept/errors/scrubbed), a per-partition row-count
+  breakdown (lineage), the file's size fingerprint and the config hash.
+  Stale manifests (config or input-file change) self-invalidate.
+- **Incremental durability:** pending files are processed in chunks of
+  ``checkpoint_every`` files — one streaming execution per chunk, manifests
+  committed after each chunk, so a crash loses at most one chunk of work.
+- **Crash cleanup:** pieces are named by their input stem; on resume every
+  piece whose stem has no valid manifest is deleted before re-processing, so
   reruns cannot duplicate rows.
 """
 
@@ -27,6 +40,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 import zlib
 
 import pyarrow as pa
@@ -49,71 +63,148 @@ def make_add_partition_fn(num_partitions: int):
     return add_part
 
 
+def _stem(path: str) -> str:
+    base = os.path.basename(path)
+    return base[: -len(".parquet")] if base.endswith(".parquet") else base
+
+
 class Manifest:
-    """Directory of per-partition done-markers."""
+    """Directory of per-input-file done-markers."""
 
     def __init__(self, output_dir: str):
         self.output_dir = output_dir
         self.manifest_dir = os.path.join(output_dir, "_manifest")
         self.data_dir = os.path.join(output_dir, "data")
 
-    def done_partitions(self) -> set[int]:
+    def _path(self, stem: str) -> str:
+        return os.path.join(self.manifest_dir, f"file-{stem}.json")
+
+    def done_stems(self) -> set[str]:
         if not os.path.isdir(self.manifest_dir):
             return set()
-        out = set()
-        for f in os.listdir(self.manifest_dir):
-            if f.startswith("part-") and f.endswith(".json"):
-                out.add(int(f[len("part-") : -len(".json")]))
-        return out
-
-    def partition_data_dir(self, pid: int) -> str:
-        return os.path.join(self.data_dir, f"{PART_COL}={pid}")
-
-    def clean_incomplete(self) -> list[int]:
-        """Delete data dirs of partitions without a manifest (crash residue)."""
-        done = self.done_partitions()
-        removed = []
-        if os.path.isdir(self.data_dir):
-            for d in os.listdir(self.data_dir):
-                if d.startswith(f"{PART_COL}="):
-                    pid = int(d.split("=", 1)[1])
-                    if pid not in done:
-                        shutil.rmtree(os.path.join(self.data_dir, d))
-                        removed.append(pid)
-        return removed
-
-    def mark_done(self, pid: int, counters: dict, config_hash: str, input_fingerprint: str) -> None:
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        record = {
-            "part_id": pid,
-            "counters": counters,
-            "config_hash": config_hash,
-            "input_fingerprint": input_fingerprint,
-            "completed_at": time.time(),
+        return {
+            f[len("file-") : -len(".json")]
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("file-") and f.endswith(".json")
         }
-        tmp = os.path.join(self.manifest_dir, f".part-{pid}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"part-{pid}.json"))
 
-    def read_manifest(self, pid: int) -> dict:
-        with open(os.path.join(self.manifest_dir, f"part-{pid}.json")) as f:
+    def read(self, stem: str) -> dict:
+        with open(self._path(stem)) as f:
             return json.load(f)
 
+    def remove(self, stem: str) -> None:
+        if os.path.exists(self._path(stem)):
+            os.remove(self._path(stem))
 
-def input_fingerprint(input_path: str) -> str:
-    """Cheap lineage stamp: sorted (name, size) of the input files."""
-    import hashlib
+    def mark_done(self, stem: str, record: dict) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = self._path(stem) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, self._path(stem))
 
-    entries = []
-    if os.path.isdir(input_path):
-        for f in sorted(os.listdir(input_path)):
-            p = os.path.join(input_path, f)
-            if os.path.isfile(p):
-                entries.append(f"{f}:{os.path.getsize(p)}")
-    elif os.path.isfile(input_path):
-        entries.append(f"{os.path.basename(input_path)}:{os.path.getsize(input_path)}")
-    return hashlib.sha256("|".join(entries).encode()).hexdigest()[:16]
+    def clean_pieces_except(self, valid_stems: set[str]) -> int:
+        """Delete data pieces whose input stem is not committed (crash residue)."""
+        removed = 0
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for d in os.listdir(self.data_dir):
+            pdir = os.path.join(self.data_dir, d)
+            if not (d.startswith(f"{PART_COL}=") and os.path.isdir(pdir)):
+                continue
+            for f in os.listdir(pdir):
+                if not f.endswith(".parquet"):
+                    continue
+                stem = f.rsplit("-", 1)[0]  # <input-stem>-<uuid>.parquet
+                if stem not in valid_stems:
+                    os.remove(os.path.join(pdir, f))
+                    removed += 1
+        return removed
+
+
+def make_piece_writer(data_dir: str, keep_text: bool):
+    """Final streaming stage: write this block's rows as per-(input-stem,
+    partition) piece files and return ONLY the counter rows. Runs with
+    batch_size=None (one call per block), so piece count per input file ≈
+    blocks-per-file × partitions-touched. The write happens inside the map
+    task — no shuffle; tmp-then-rename per piece for atomicity."""
+
+    def write_pieces(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc  # noqa: F401 (kept for future kernels)
+        import pyarrow.parquet as pq
+
+        paths = batch.column("path").to_pylist()
+        stems = [_stem(p) for p in paths]
+        batch = batch.drop_columns(["path"])
+        if not keep_text and "text" in batch.column_names:
+            batch = batch.drop_columns(["text"])
+
+        order = np.lexsort(
+            (
+                batch.column("turn_idx").to_numpy(zero_copy_only=False),
+                np.asarray(batch.column("conv_id").to_pylist(), dtype=object),
+                batch.column(PART_COL).to_numpy(zero_copy_only=False),
+                np.asarray(stems, dtype=object),
+            )
+        )
+        batch = batch.take(pa.array(order))
+        stems_sorted = [stems[i] for i in order]
+        pids = batch.column(PART_COL).to_numpy(zero_copy_only=False)
+
+        n = batch.num_rows
+        kept_col = batch.column("keep").to_numpy(zero_copy_only=False)
+        err_col = batch.column("rule_error").to_numpy(zero_copy_only=False)
+        scr_col = (
+            batch.column("sensitive_count").to_numpy(zero_copy_only=False) > 0
+            if "sensitive_count" in batch.column_names
+            else np.zeros(n, dtype=bool)
+        )
+
+        out_stem: list[str] = []
+        out_pid: list[int] = []
+        out_counts: dict[str, list[int]] = {"total": [], "kept": [], "errors": [], "scrubbed": []}
+        suffix = uuid.uuid4().hex[:8]
+        start = 0
+        while start < n:
+            end = start + 1
+            while end < n and stems_sorted[end] == stems_sorted[start] and pids[end] == pids[start]:
+                end += 1
+            pid = int(pids[start])
+            stem = stems_sorted[start]
+            piece = batch.slice(start, end - start).drop_columns([PART_COL])
+            pdir = os.path.join(data_dir, f"{PART_COL}={pid}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".{stem}-{suffix}.tmp")
+            pq.write_table(piece, tmp)
+            os.replace(tmp, os.path.join(pdir, f"{stem}-{suffix}.parquet"))
+            out_stem.append(stem)
+            out_pid.append(pid)
+            out_counts["total"].append(end - start)
+            out_counts["kept"].append(int(kept_col[start:end].sum()))
+            out_counts["errors"].append(int(err_col[start:end].sum()))
+            out_counts["scrubbed"].append(int(scr_col[start:end].sum()))
+            start = end
+
+        return pa.table(
+            {
+                "stem": pa.array(out_stem, pa.string()),
+                PART_COL: pa.array(out_pid, pa.int32()),
+                **{k: pa.array(v, pa.int64()) for k, v in out_counts.items()},
+            }
+        )
+
+    return write_pieces
+
+
+def _list_input_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
 
 
 def run_quality_job(
@@ -122,117 +213,75 @@ def run_quality_job(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
     words=None,
-    sort_output: bool = False,
+    checkpoint_every: int = 64,
 ) -> dict:
-    """Full checkpointed job: read → partition → (resume-filter) → quality
-    pipeline → Hive-partitioned write → per-partition manifests with counters.
-
-    Returns the merged run counters. Idempotent: a completed run re-invoked is
-    a no-op; a killed run resumes from the last committed partition.
-    """
-    import pyarrow.compute as pc
-
-    from chinese_corpus_cleaning_ray.sources.transcripts import read_transcripts
+    """Checkpointed flagship job: per-input-file resume, shuffle-free streaming
+    write into hash(conv_id) partition directories, per-file manifests with
+    per-partition lineage counters. Idempotent; a crash loses ≤ one chunk of
+    ``checkpoint_every`` files."""
+    import ray.data as rd
 
     manifest = Manifest(output_dir)
     os.makedirs(output_dir, exist_ok=True)
-    fingerprint = input_fingerprint(input_path)
-    done = manifest.done_partitions() if resume else set()
-    # Stale-manifest guard: a partition committed under a different config or
-    # input is NOT done — drop its manifest and data so it recomputes.
-    stale = set()
-    for pid in sorted(done):
-        rec = manifest.read_manifest(pid)
-        if rec.get("config_hash") != cfg.config_hash() or rec.get("input_fingerprint") != fingerprint:
-            stale.add(pid)
-    for pid in stale:
-        os.remove(os.path.join(manifest.manifest_dir, f"part-{pid}.json"))
-        if os.path.isdir(manifest.partition_data_dir(pid)):
-            shutil.rmtree(manifest.partition_data_dir(pid))
-    done -= stale
-    if not resume and os.path.isdir(manifest.manifest_dir):
-        shutil.rmtree(manifest.manifest_dir)
-        done = set()
-    if not resume and os.path.isdir(manifest.data_dir):
-        shutil.rmtree(manifest.data_dir)
-    removed = manifest.clean_incomplete()
+    files = _list_input_files(input_path)
+    by_stem = {_stem(p): p for p in files}
+    cfg_hash = cfg.config_hash()
 
-    ds = read_transcripts(input_path)
-    ds = ds.map_batches(make_add_partition_fn(cfg.num_partitions), batch_format="pyarrow")
-    if done:
-        done_arr = pa.array(sorted(done), pa.int32())
+    if not resume:
+        for d in (manifest.manifest_dir, manifest.data_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
-        def drop_done(batch: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(batch.column(PART_COL), value_set=done_arr))
-            return batch.filter(mask)
+    # stale-manifest guard: config change or input-file change invalidates
+    done: set[str] = set()
+    for stem in manifest.done_stems():
+        if stem not in by_stem:
+            manifest.remove(stem)
+            continue
+        rec = manifest.read(stem)
+        size = os.path.getsize(by_stem[stem])
+        if rec.get("config_hash") != cfg_hash or rec.get("input_size") != size:
+            manifest.remove(stem)
+        else:
+            done.add(stem)
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    pieces_cleaned = manifest.clean_pieces_except(done)
+    pending = [p for p in files if _stem(p) not in done]
 
-    ds = build_quality_pipeline(ds, cfg, words=words)
-    if not cfg.keep_original_text:
-        # halve the output-shuffle payload: the scrubbed corpus (EP2's real
-        # output — ref:main.py:401-403) keeps scrubbed_text; the original text
-        # remains addressable in the input via (conv_id, turn_idx).
-        ds = ds.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
-    if sort_output:
-        ds = ds.sort(["conv_id", "turn_idx"])
-
-    # Single-pass partitioned write: groupby(part_id) co-locates each
-    # checkpoint partition in one task, which writes exactly one file
-    # (Hive layout, tmp-then-rename for atomicity) sorted by (conv_id,
-    # turn_idx), computes the partition's counters in the same pass, and
-    # returns ONLY the one-row counter record. No read-back, no second
-    # execution, no blocks×partitions file explosion.
-    # Scale note: one partition must fit a worker's heap — size
-    # cfg.num_partitions so input_size/num_partitions ≲ 1 GiB.
-    data_dir = manifest.data_dir
-
-    def write_partition(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-        import pyarrow.parquet as _pq
-
-        pid = group.column(PART_COL)[0].as_py()
-        idx = pc.sort_indices(
-            group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    files_this_run = 0
+    for chunk_start in range(0, len(pending), checkpoint_every):
+        chunk = pending[chunk_start : chunk_start + checkpoint_every]
+        ds = rd.read_parquet(
+            chunk,
+            include_paths=True,
+            override_num_blocks=max(len(chunk), 1),
         )
-        group = group.take(idx)
-        pdir = os.path.join(data_dir, f"{PART_COL}={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, ".part.parquet.tmp")
-        _pq.write_table(group.drop_columns([PART_COL]), tmp)
-        os.replace(tmp, os.path.join(pdir, "part.parquet"))
-        kept = _pc.sum(_pc.cast(group.column("keep"), pa.int64())).as_py() or 0
-        errors = _pc.sum(_pc.cast(group.column("rule_error"), pa.int64())).as_py() or 0
-        scrubbed = (
-            _pc.sum(_pc.cast(_pc.greater(group.column("sensitive_count"), 0), pa.int64())).as_py()
-            or 0
-        )
-        return pa.table(
-            {
-                PART_COL: pa.array([pid], pa.int32()),
-                "total": pa.array([group.num_rows], pa.int64()),
-                "kept": pa.array([kept], pa.int64()),
-                "errors": pa.array([errors], pa.int64()),
-                "scrubbed": pa.array([scrubbed], pa.int64()),
+        ds = ds.map_batches(make_add_partition_fn(cfg.num_partitions), batch_format="pyarrow")
+        ds = build_quality_pipeline(ds, cfg, words=words)
+        writer = make_piece_writer(manifest.data_dir, cfg.keep_original_text)
+        counters = ds.map_batches(writer, batch_format="pyarrow", batch_size=None).to_pandas()
+
+        for stem, g in counters.groupby("stem"):
+            per_part = {
+                int(pid): int(t) for pid, t in g.groupby(PART_COL)["total"].sum().items()
             }
-        )
-
-    counter_df = (
-        ds.groupby(PART_COL).map_groups(write_partition, batch_format="pyarrow").to_pandas()
-    )
-    counters_by_pid: dict[int, dict] = {}
-    for row in counter_df.itertuples(index=False):
-        pid = int(getattr(row, PART_COL))
-        counters = {k: int(getattr(row, k)) for k in ("total", "kept", "errors", "scrubbed")}
-        counters_by_pid[pid] = counters
-        manifest.mark_done(pid, counters, cfg.config_hash(), fingerprint)
+            record = {
+                "stem": stem,
+                "input_size": os.path.getsize(by_stem[stem]),
+                "counters": {k: int(g[k].sum()) for k in ("total", "kept", "errors", "scrubbed")},
+                "per_partition": per_part,
+                "config_hash": cfg_hash,
+                "completed_at": time.time(),
+            }
+            manifest.mark_done(stem, record)
+            files_this_run += 1
 
     totals = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}
-    for pid in manifest.done_partitions():
-        c = manifest.read_manifest(pid)["counters"]
+    for stem in manifest.done_stems():
+        c = manifest.read(stem)["counters"]
         for k in totals:
             totals[k] += int(c.get(k, 0))
-    totals["partitions_done"] = len(manifest.done_partitions())
-    totals["partitions_this_run"] = len(counters_by_pid)
-    totals["partitions_cleaned"] = len(removed)
+    totals["files_done"] = len(manifest.done_stems())
+    totals["files_this_run"] = files_this_run
+    totals["pieces_cleaned"] = pieces_cleaned
     return totals

@@ -1,5 +1,6 @@
-"""Checkpointed job: full run, resume no-op, crash-resume equivalence,
-incomplete-partition cleanup, counter integrity."""
+"""Checkpointed job v2 (per-input-file resume, shuffle-free piece writer):
+full run, no-op resume, crash-resume equivalence, orphan-piece cleanup,
+stale-config invalidation, conversation co-location, counter integrity."""
 
 import os
 
@@ -37,28 +38,25 @@ def test_full_run_and_noop_resume(ray_session, input_dir, cfg, tmp_path):
     out = str(tmp_path / "out")
     stats = run_quality_job(input_dir, out, cfg)
     assert stats["total"] == 5_000
-    assert stats["partitions_this_run"] == stats["partitions_done"] > 0
+    assert stats["files_this_run"] == stats["files_done"] == 5
     assert 0 < stats["kept"] < 5_000
     m = Manifest(out)
-    rec = m.read_manifest(sorted(m.done_partitions())[0])
-    assert rec["config_hash"] and rec["input_fingerprint"]
-    assert rec["counters"]["total"] > 0
+    rec = m.read(sorted(m.done_stems())[0])
+    assert rec["config_hash"] and rec["input_size"] > 0
+    assert rec["counters"]["total"] == sum(rec["per_partition"].values()) == 1_000
 
     first = _read_all_sorted(m.data_dir)
-    # resume over a complete output: nothing reruns, bytes unchanged
+    assert first.num_rows == 5_000
     stats2 = run_quality_job(input_dir, out, cfg)
-    assert stats2["partitions_this_run"] == 0
+    assert stats2["files_this_run"] == 0
     assert stats2["total"] == 5_000
-    second = _read_all_sorted(m.data_dir)
-    assert first.equals(second)
+    assert first.equals(_read_all_sorted(m.data_dir))
 
 
 def test_crash_resume_equivalence(ray_session, input_dir, cfg, tmp_path):
-    """Simulate a crash after k committed partitions: delete the other
-    manifests + leave one partition's data without a manifest (mid-write
-    crash). Resume must rebuild exactly the full output, nothing duplicated."""
-    import shutil
-
+    """Simulated crash: keep 2 manifests, delete the rest; leave one file's
+    pieces orphaned (no manifest). Resume must clean orphans, reprocess only
+    pending files, and produce output identical to a single-shot run."""
     from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
 
     ref_out = str(tmp_path / "ref")
@@ -68,36 +66,54 @@ def test_crash_resume_equivalence(ray_session, input_dir, cfg, tmp_path):
     crash_out = str(tmp_path / "crash")
     run_quality_job(input_dir, crash_out, cfg)
     m = Manifest(crash_out)
-    done = sorted(m.done_partitions())
-    assert len(done) >= 3
-    keep_done = set(done[:2])
-    orphan = done[2]  # data present, manifest removed → simulated mid-write crash
-    for pid in done:
-        if pid not in keep_done:
-            os.remove(os.path.join(m.manifest_dir, f"part-{pid}.json"))
-    for pid in done[3:]:
-        shutil.rmtree(m.partition_data_dir(pid))
+    done = sorted(m.done_stems())
+    assert len(done) == 5
+    for stem in done[2:]:
+        m.remove(stem)  # stems 2..4 incomplete; their pieces remain = orphans
 
     stats = run_quality_job(input_dir, crash_out, cfg)
-    assert stats["partitions_cleaned"] >= 1  # the orphan dir was removed first
+    assert stats["pieces_cleaned"] > 0
+    assert stats["files_this_run"] == 3
     assert stats["total"] == 5_000
     resumed = _read_all_sorted(m.data_dir)
-    assert ref.equals(resumed), "resumed output differs from single-shot output"
-    # no duplicated rows
     assert resumed.num_rows == 5_000
-    del orphan
+    assert ref.equals(resumed), "resumed output differs from single-shot output"
 
 
-def test_partition_assignment_is_by_conversation(ray_session, input_dir, cfg, tmp_path):
+def test_stale_config_invalidates(ray_session, input_dir, cfg, tmp_path):
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import RuleConfig
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    out = str(tmp_path / "out")
+    run_quality_job(input_dir, out, cfg)
+    cfg2 = replace(cfg, rule=RuleConfig(min_text_length=50))
+    stats = run_quality_job(input_dir, out, cfg2)
+    assert stats["files_this_run"] == 5  # every manifest was stale → recompute
+    assert stats["total"] == 5_000
+
+
+def test_partition_dirs_colocate_conversations(ray_session, input_dir, cfg, tmp_path):
     from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
 
     out = str(tmp_path / "out2")
     run_quality_job(input_dir, out, cfg)
     m = Manifest(out)
-    seen: dict[str, int] = {}
-    for pid in m.done_partitions():
-        pdir = m.partition_data_dir(pid)
+    seen: dict[str, str] = {}
+    for d in sorted(os.listdir(m.data_dir)):
+        pdir = os.path.join(m.data_dir, d)
         for f in os.listdir(pdir):
             t = pq.read_table(os.path.join(pdir, f), columns=["conv_id"])
             for c in set(t.column("conv_id").to_pylist()):
-                assert seen.setdefault(c, pid) == pid, f"conv {c} split across partitions"
+                assert seen.setdefault(c, d) == d, f"conv {c} split across partitions"
+    assert len(set(seen.values())) > 1  # actually partitioned
+
+
+def test_chunked_incremental_commit(ray_session, input_dir, cfg, tmp_path):
+    """checkpoint_every=2 → manifests land in waves; totals unchanged."""
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    out = str(tmp_path / "out3")
+    stats = run_quality_job(input_dir, out, cfg, checkpoint_every=2)
+    assert stats["files_done"] == 5 and stats["total"] == 5_000

@@ -85,3 +85,11 @@ def test_remove_long_repeats():
     assert "结尾" in out
     # short texts untouched
     assert tc.remove_long_repeated_substrings("短文本") == "短文本"
+
+
+def test_predict_batch_matches_scalar(lid, sample_texts):
+    res = lid.predict_batch(sample_texts)
+    for i, t in enumerate(sample_texts):
+        lang, conf, z = lid.predict(t)
+        assert res["lang"][i] == lang and res["is_zh"][i] == z
+        assert res["lang_conf"][i] == conf

@@ -60,6 +60,21 @@ def test_seo_spam_downweight():
     assert r["rule_score"] < 0.3  # ×0.3 obvious-spam downweight kicked in
 
 
+def test_arrow_kernel_matches_scalar(sample_texts):
+    """The vectorized Arrow/numpy path must be value-identical to the scalar
+    spec over every fixture class (incl. empty / edge rows)."""
+    texts = sample_texts
+    fast = rules.evaluate_rules_arrow(texts, CFG)
+    for i, text in enumerate(texts):
+        r = rules.evaluate_rules(text, CFG)
+        assert bool(fast["rule_pass"][i]) == r["rule_pass"], text[:50]
+        assert bool(fast["rule_error"][i]) == r["rule_error"], text[:50]
+        assert fast["rule_score"][i] == pytest.approx(r["rule_score"], abs=1e-12), text[:50]
+        want = dict(zip(rules.CHECK_NAMES, r["checks"]))
+        for name in rules.CHECK_NAMES:
+            assert bool(fast["checks"][name][i]) == want[name], (text[:50], name)
+
+
 def test_batch_kernel_matches_scalar(sample_texts):
     texts = sample_texts[:300]
     batch = rules.evaluate_rules_batch(texts, CFG)
