@@ -460,6 +460,28 @@ def _q_transcripts_minhash_dedup(sf_dir: str):
     return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_simhash_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    deduped, _ = simhash_dedup(ds, id_col="doc_id")
+    return (
+        deduped.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+def _q_emb_cosine_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.similarity import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    deduped, _ = embedding_dedup(ds, threshold=0.95)
+    return (
+        deduped.select_columns(["vec_id"]).to_pandas()
+        .sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "agg_pricing_summary": _q_pricing_summary,
@@ -475,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_simhash_dedup": _q_doc_simhash_dedup,
+        "emb_cosine_dedup": _q_emb_cosine_dedup,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,

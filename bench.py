@@ -59,10 +59,17 @@ def run_bench() -> dict:
     cfg = DEFAULT_CONFIG
 
     out_dir = f"/tmp/ccc_bench/out_{num_cpus}_{int(time.time())}"
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm-up: page cache + worker-process imports (a tiny untimed job through
+    # the same pipeline), so the timed run measures steady-state throughput
+    # rather than Python import latency in fresh Ray workers
     import pyarrow.dataset as pads
 
     pads.dataset(corpus).head(100)
+    from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
+
+    warm_in = write_transcripts("/tmp/ccc_bench/warmup", 4_000, seed=7, rows_per_file=2_000)
+    run_quality_job(warm_in, f"{out_dir}_warm", cfg, resume=False)
+    shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
 
     t0 = time.perf_counter()
     stats = run_quality_job(corpus, out_dir, cfg, resume=False)
@@ -101,6 +108,36 @@ def run_bench() -> dict:
     }
 
 
+def _hw_work(_):
+    import re
+    import time as _t
+
+    pat = re.compile(r"[一-鿿]")
+    t = "清晨的阳光洒在湖面上微风吹过泛起层层涟漪远处的山峦在薄雾里" * 3
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < 3.0:
+        pat.findall(t)
+        n += 1
+    return n
+
+
+def _hardware_parallel_baseline(lo: int, hi: int) -> float:
+    """Raw multiprocess CPU-scaling efficiency of THIS box for regex-type
+    work (no Ray): per-process throughput at ``hi`` procs / at ``lo`` procs.
+    Single-node memory-bandwidth/frequency effects cap any pipeline's
+    measured efficiency at this number; a real N→4N NODE comparison would not
+    pay it (independent machines). Reported so the pipeline's efficiency can
+    be judged net of hardware."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            rates[procs] = sum(p.map(_hw_work, range(procs))) / procs
+    return rates[hi] / rates[lo]
+
+
 def run_scaling() -> dict:
     """Same corpus + job at num_cpus=8 then 32, fresh processes."""
 
@@ -117,6 +154,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    hw = _hardware_parallel_baseline(lo, hi)
     return {
         "metric": "scaling_efficiency_filter_scrub",
         "value": round(eff, 3),
@@ -127,6 +165,8 @@ def run_scaling() -> dict:
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "bench_turns": r_lo["bench_turns"],
         "cpu_ratio": hi / lo,
+        "hardware_parallel_efficiency": round(hw, 3),
+        "efficiency_normalized_to_hardware": round(min(1.0, eff / hw), 3),
     }
 
 

@@ -1,0 +1,116 @@
+"""CLI — the Ray-Data equivalents of the reference's entry points
+(ref:text_quality_filter/main.py:448-494 ``filter/train/sensitive`` and
+ref:process_documents.py:86-161 ``process/...``):
+
+    python -m chinese_corpus_cleaning_ray process  --input DIR --output DIR
+        full filter+scrub checkpointed job (EP1+EP2 fused; resumable)
+    python -m chinese_corpus_cleaning_ray filter   --input DIR --output DIR
+        decisions only (no scrub column)
+    python -m chinese_corpus_cleaning_ray sensitive --input DIR --output DIR
+        scrub only
+    python -m chinese_corpus_cleaning_ray train    --corpus DIR --model PATH
+        train the char n-gram LM (A7) from the ``text`` column of kept rows
+    python -m chinese_corpus_cleaning_ray synth    --output DIR --rows N
+        write the deterministic synthetic transcript corpus
+
+Owns the Ray session (guarded init) — the only place in the package that may
+call ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import replace
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="chinese_corpus_cleaning_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("process", "filter", "sensitive"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--enable-ppl", action="store_true")
+        sp.add_argument("--wordlist", default=None)
+
+    tp = sub.add_parser("train")
+    tp.add_argument("--corpus", required=True, help="parquet dir with a text column")
+    tp.add_argument("--model", required=True)
+    tp.add_argument("--order", type=int, default=5)
+    tp.add_argument("--num-cpus", type=int, default=None)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--rows", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--skew", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
+
+        out = write_transcripts(args.output, args.rows, seed=args.seed, skew=args.skew)
+        print(json.dumps({"written": out, "rows": args.rows}))
+        return 0
+
+    ray = _ray_init(args.num_cpus)
+    try:
+        if args.cmd == "train":
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.functions.ngram_lm import NgramModel
+
+            ds = rd.read_parquet(
+                [args.corpus] if args.corpus.endswith(".parquet") else args.corpus,
+                columns=["text"],
+            )
+            texts = [r["text"] for r in ds.take(50_000)]
+            model = NgramModel(n=args.order).train(texts)
+            model.save(args.model)
+            print(json.dumps({"model": args.model, "order": args.order,
+                              "vocab": len(model.vocab), "texts": len(texts)}))
+            return 0
+
+        from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+        from chinese_corpus_cleaning_ray.functions.wordlists import load_words
+        from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+        cfg = DEFAULT_CONFIG
+        if args.cmd == "filter":
+            cfg = replace(cfg, enable_scrub=False)
+        elif args.cmd == "sensitive":
+            cfg = replace(cfg, enable_langid=False, enable_perplexity=False)
+        if args.enable_ppl:
+            cfg = replace(cfg, enable_perplexity=True)
+        words = load_words(args.wordlist) if args.wordlist else None
+        stats = run_quality_job(args.input, args.output, cfg,
+                                resume=not args.no_resume, words=words)
+        print(json.dumps(stats))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

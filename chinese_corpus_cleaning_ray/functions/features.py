@@ -46,24 +46,45 @@ NEGATIVE_CONTEXT_RES = [
 
 
 class FeatureWordsScorer:
-    """DFA-backed feature-word check + tiered score. The trie is shared with
-    the scrub stage (one build per actor — see stages/scrub_stage.py)."""
+    """Feature-word check + tiered score, with the reference's two matcher
+    strategies (ref:feature_words.py:122-129): DFA (default, shortest
+    non-overlapping matches — shares the scrub trie, one build per actor) or
+    Aho-Corasick (``use_dfa=False``: ALL matches incl. overlapping; per-line
+    counts via substring membership — ref:feature_words.py:193-198)."""
 
-    def __init__(self, words: list[str], cfg: FeatureConfig | None = None):
+    def __init__(self, words: list[str], cfg: FeatureConfig | None = None,
+                 use_dfa: bool = True):
         self.cfg = cfg or FeatureConfig()
         self.words = set(words)
-        self.dfa = DFAScrubber(self.words)
+        self.use_dfa = use_dfa
+        self.dfa = DFAScrubber(self.words)  # scrub always needs the trie
+        if not use_dfa:
+            from chinese_corpus_cleaning_ray.functions.ac import AhoCorasick
+
+            self.ac = AhoCorasick(self.words)
+            self.ac.build()
 
     def check_feature_words(self, text: str) -> tuple[bool, dict]:
         """ref:feature_words.py:170-214."""
         if not self.words:
             return True, {"feature_count": 0, "feature_words": [], "avg_per_line": 0.0}
-        matched = self.dfa.detect(text)
         lines = text.split("\n")
-        # numerator: counts over non-blank lines — ref:feature_words.py:184-191
-        num = sum(
-            self.dfa.count_sensitive_words(line)[0] for line in lines if line.strip()
-        )
+        if self.use_dfa:
+            matched = self.dfa.detect(text)
+            # numerator: counts over non-blank lines — ref:feature_words.py:184-191
+            num = sum(
+                self.dfa.count_sensitive_words(line)[0] for line in lines if line.strip()
+            )
+        else:
+            pairs = self.ac.search(text)
+            matched = [w for _, w in pairs]
+            # AC path counts a matched word once per line CONTAINING it —
+            # ref:feature_words.py:193-198 (numerator over non-blank lines)
+            num = sum(
+                sum(1 for _, w in pairs if w in line)
+                for line in lines
+                if line.strip()
+            )
         # denominator: lines with stripped length >= 5 — ref:feature_words.py:201-205
         denom = sum(1 for line in lines if len(line.strip()) >= 5)
         avg = num / denom if denom > 0 else 0.0
@@ -80,7 +101,12 @@ class FeatureWordsScorer:
         if not text:
             return 0.0
         if matched is None:
-            matched = self.dfa.detect(text) if self.words else []
+            if not self.words:
+                matched = []
+            elif self.use_dfa:
+                matched = self.dfa.detect(text)
+            else:
+                matched = [w for _, w in self.ac.search(text)]
         n = len(text)
         unique_adjusted = sum(1 for w in set(matched) if w not in COMMON_WORDS)
         lowered = text.lower()

@@ -21,7 +21,7 @@ from chinese_corpus_cleaning_ray.stages.quality_stages import (
 )
 
 
-from chinese_corpus_cleaning_ray.stages.pools import resolve_pool as _pool_size
+from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
 
 
 def build_quality_pipeline(
@@ -49,7 +49,8 @@ def build_quality_pipeline(
             fn_constructor_kwargs={"cfg": cfg, "words": words},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=_pool_size(cfg.scrub_actors),
+            concurrency=resolve_pool(cfg.scrub_actors,
+                                     fraction=0.45 if cfg.enable_perplexity else 0.6),
             num_cpus=1,
         )
     if cfg.enable_perplexity:
@@ -58,7 +59,7 @@ def build_quality_pipeline(
             fn_constructor_kwargs={"cfg": cfg, "model_path": ppl_model_path},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=_pool_size(cfg.ppl_actors),
+            concurrency=resolve_pool(cfg.ppl_actors, fraction=0.3),
             num_cpus=1,
         )
     ds = ds.map_batches(make_score_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)

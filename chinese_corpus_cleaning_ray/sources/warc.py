@@ -1,0 +1,111 @@
+"""WARC ingest source — self-contained WARC/1.x parser (no warcio dependency).
+
+The reference's crawl path streams gzip CommonCrawl WARCs with warcio and
+keeps Chinese 'response' records (ref:Crawl_Page/subsample_warc_warc.py:16-90,
+two passes + a 1 s watchdog thread per record). Re-expression:
+
+- ``iter_warc_records(stream)`` — minimal single-pass parser for the WARC/1.0
+  format (header block, Content-Length-framed payload, CRLF CRLF terminators);
+  handles plain and gzip streams (member-concatenated gzip works through
+  ``gzip.GzipFile`` which reads across members).
+- ``read_warc(paths)`` — Ray Data plan: ``read_binary_files`` over the .warc /
+  .warc.gz shards → flat_map one row per response record
+  ``(warc_path, record_id, target_uri, payload: binary)``. One pass — the
+  reference's offset-collection + rewrite double scan collapses into a
+  ``filter`` on the resulting Dataset (SURVEY §2.5 G4).
+- ``http_payload(body)`` — strip the HTTP response head from a response
+  record's block, yielding the entity body (HTML bytes).
+
+The HTML→text + langid stages then apply downstream (stages/analysis.strip_html,
+functions/langid) exactly like the reference's EP3 chain.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+
+def _read_headers(fp) -> dict[str, str] | None:
+    """Read a CRLF-terminated header block; None on clean EOF."""
+    line = fp.readline()
+    while line in (b"\r\n", b"\n"):  # skip inter-record blank lines
+        line = fp.readline()
+    if not line:
+        return None
+    headers: dict[str, str] = {}
+    first = line.decode("utf-8", errors="ignore").strip()
+    headers["__version__"] = first
+    while True:
+        line = fp.readline()
+        if not line or line in (b"\r\n", b"\n"):
+            break
+        text = line.decode("utf-8", errors="ignore").rstrip("\r\n")
+        if ":" in text:
+            k, v = text.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def iter_warc_records(stream) -> Iterator[dict]:
+    """Yield {'headers': dict, 'payload': bytes} per WARC record."""
+    while True:
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        if not headers.get("__version__", "").startswith("WARC/"):
+            # tolerate garbage between records by scanning forward
+            continue
+        length = int(headers.get("content-length", "0"))
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated archive
+        yield {"headers": headers, "payload": payload}
+
+
+def http_payload(block: bytes) -> bytes:
+    """Entity body of an HTTP response block (drop the status+header head)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep == -1:
+        sep = block.find(b"\n\n")
+        return block[sep + 2 :] if sep != -1 else block
+    return block[sep + 4 :]
+
+
+def parse_warc_bytes(data: bytes, path: str = "", record_types: tuple = ("response",)) -> list[dict]:
+    """All wanted records of one WARC file as rows."""
+    # magic-byte check only: Ray's read_binary_files already decompresses
+    # .gz paths, so the extension says nothing about the bytes we get
+    if data[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    rows = []
+    for rec in iter_warc_records(stream):
+        h = rec["headers"]
+        if record_types and h.get("warc-type") not in record_types:
+            continue
+        rows.append(
+            {
+                "warc_path": path,
+                "record_id": h.get("warc-record-id", ""),
+                "target_uri": h.get("warc-target-uri", ""),
+                "payload": http_payload(rec["payload"]) if h.get("warc-type") == "response" else rec["payload"],
+            }
+        )
+    return rows
+
+
+def read_warc(paths, record_types: tuple = ("response",)):
+    """Ray Data plan: one row per WARC record of the wanted types. Each file is
+    parsed inside the reading task (flat_map over binary files) — streaming,
+    single pass, no driver-side loops."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    def explode(row: dict) -> list[dict]:
+        return parse_warc_bytes(row["bytes"], row["path"], record_types)
+
+    return files.flat_map(explode)

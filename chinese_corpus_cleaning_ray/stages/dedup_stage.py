@@ -147,7 +147,7 @@ def minhash_dedup(
             num_bands=num_bands, shingle_k=shingle_k, seed=seed,
         ),
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
+        concurrency=resolve_pool(concurrency, fraction=0.4),
         num_cpus=1,
     )
 
@@ -227,3 +227,75 @@ def simhash_mark(ds, text_col: str = "text", k: int = 3):
 def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> list[float]:
     """Exact shingle-Jaccard for candidate verification (row-local kernel)."""
     return [jaccard(char_shingles(a, k), char_shingles(b, k)) for a, b in zip(texts_a, texts_b)]
+
+
+def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
+                  max_hamming: int = 3, shards: int = 256):
+    """Near-dup removal via 64-bit SimHash with 4×16-bit band blocking.
+
+    Two texts within Hamming distance ≤ 3 of each other share at least one of
+    the four 16-bit bands (pigeonhole), so banding finds all such candidate
+    pairs; candidates are verified by exact Hamming distance and every
+    non-minimal member of a verified pair is dropped (keep-first by id).
+    Same coarse-shard grouping discipline as minhash_dedup.
+    """
+    from chinese_corpus_cleaning_ray.functions.dedup import hamming64, simhash64
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        sims = [simhash64(t, k) for t in texts]
+        n = len(texts)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        bands = np.empty(4 * n, dtype=np.int64)
+        bidx = np.empty(4 * n, dtype=np.int32)
+        for i, s in enumerate(sims):
+            u = s & ((1 << 64) - 1)
+            for b in range(4):
+                bands[4 * i + b] = (u >> (16 * b)) & 0xFFFF
+                bidx[4 * i + b] = b
+        return pa.table(
+            {
+                id_col: ids.take(rep),
+                "simhash": pa.array(np.repeat(np.asarray(sims, dtype=np.int64), 4)),
+                "band_id": pa.array(bidx),
+                "band_val": pa.array(bands),
+                "shard": pa.array(
+                    ((bands * 4 + bidx) % shards).astype(np.int32)
+                ),
+            }
+        )
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        dups: set = set()
+        for (_, _), bucket in group.groupby(["band_id", "band_val"]):
+            if len(bucket) <= 1:
+                continue
+            rows = bucket.sort_values(id_col).to_dict("records")
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if hamming64(int(rows[i]["simhash"]), int(rows[j]["simhash"])) <= max_hamming:
+                        dups.add(rows[j][id_col])
+        return pd.DataFrame({id_col: sorted(dups)})
+
+    dup_ids_ds = (
+        ds.map_batches(add_bands, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pandas")
+    )
+    dup_df = dup_ids_ds.to_pandas()
+    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
+    if not dup_ids:
+        return ds, []
+    import ray
+
+    dup_ref = ray.put(frozenset(dup_ids))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dups = _ray.get(dup_ref)
+        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids

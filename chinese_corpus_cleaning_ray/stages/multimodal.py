@@ -106,7 +106,7 @@ def decode_images(ds, binary_col: str = "payload", decoder_factory=Deterministic
                   batch_size: int = 64, concurrency=4):
     from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
 
-    concurrency = resolve_pool(concurrency)
+    concurrency = resolve_pool(concurrency, fraction=0.4)
     return ds.map_batches(
         ImageFeatureStage,
         fn_constructor_kwargs=dict(binary_col=binary_col, decoder_factory=decoder_factory),
@@ -121,7 +121,7 @@ def sample_frames(ds, binary_col: str = "payload", num_frames: int = 4,
                   batch_size: int = 64, concurrency=4):
     from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
 
-    concurrency = resolve_pool(concurrency)
+    concurrency = resolve_pool(concurrency, fraction=0.4)
     return ds.map_batches(
         FrameSampleStage,
         fn_constructor_kwargs=dict(binary_col=binary_col, num_frames=num_frames),

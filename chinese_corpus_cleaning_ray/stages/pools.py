@@ -1,10 +1,13 @@
 """Actor-pool sizing.
 
 Fixed-size pools beat autoscaling ``(1, N)`` pools by ~40% under steady load
-(they under-provision), but a fixed pool larger than the cluster deadlocks the
-streaming executor: pending actors reserve nothing, ready actors + other
-stages' tasks contend for the rest. ``resolve_pool`` clamps every pool to
-cluster CPUs − 1 so reads/shuffles/writes always have head-room.
+(they under-provision), but a fixed pool's idle actors still RESERVE their
+CPUs, so pools must never monopolize the cluster: one pool starving a
+concurrent shuffle deadlocked a 4-CPU join, and two CHAINED pools in one plan
+(embed→knn) each sized near "all CPUs" reserved everything and hung the
+executor. ``resolve_pool`` therefore sizes a pool as a FRACTION of available
+CPUs; stages that may be chained with another pool pass fraction ≤ 0.4 so two
+pools together still leave task head-room.
 """
 
 from __future__ import annotations
@@ -19,13 +22,13 @@ def cluster_cpus(default: int = 8) -> int:
         return default
 
 
-def resolve_pool(requested: int | None, reserve: int = 4) -> int:
-    """Pool size: ``requested`` clamped to ≤ min(CPUs−2, 75% of CPUs); default
-    CPUs − ``reserve``. A fixed pool's idle actors still RESERVE their CPUs, so
-    an under-capped pool starves concurrent shuffles on small clusters
-    (observed: a 3-actor pool on 4 CPUs deadlocking a join)."""
+def resolve_pool(requested: int | None = None, fraction: float = 0.75,
+                 reserve: int = 2) -> int:
+    """Pool size = ``fraction`` × (cluster CPUs − ``reserve``), clamped ≥ 1.
+    ``requested`` (if given) is clamped down to that cap, never raised."""
     cpus = cluster_cpus()
-    cap = max(1, min(cpus - 2, int(cpus * 0.75)))
+    avail = max(1, cpus - reserve)
+    cap = max(1, round(avail * fraction))
     if requested is None:
-        requested = max(2, cpus - reserve)
+        return cap
     return max(1, min(requested, cap))

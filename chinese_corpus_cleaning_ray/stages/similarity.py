@@ -96,7 +96,7 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
         BruteKnnStage,
         fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
+        concurrency=resolve_pool(concurrency, fraction=0.4),
         num_cpus=1,
     )
 
@@ -145,3 +145,68 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     filtered = ds.map_batches(prefilter, batch_format="pyarrow")
     return knn_brute(filtered, q, k=k, id_col=id_col, vec_col=vec_col,
                      concurrency=concurrency)
+
+
+def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                    threshold: float = 0.85, nbits: int = 8, seed: int = 42):
+    """Embedding-cosine near-dup removal — the distributed re-expression of the
+    reference's check_duplicate (max cosine vs corpus ≥ 0.85 → duplicate,
+    ref:utils/clustering.py:169-185) without the O(n²) matrix:
+
+    rows are LSH-bucketed by random-hyperplane signs; within each bucket the
+    pairwise cosine is computed vectorized and every non-minimal member of a
+    ≥threshold pair is dropped (keep-first by id). Near-identical vectors agree
+    on all sign bits with high probability; recall is tuned via nbits.
+    Returns (deduped_ds, dup_ids)."""
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        planes = lsh_planes(m.shape[1], nbits, seed)
+        buckets = _bucket_of(m, planes)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(buckets, pa.int32()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) <= 1:
+            return pd.DataFrame({id_col: []})
+        g = group.sort_values(id_col)
+        m = _normalize(np.asarray(list(g[vec_col]), dtype=np.float64))
+        sims = m @ m.T
+        ids = list(g[id_col])
+        dups = set()
+        for i in range(len(ids)):
+            if ids[i] in dups:
+                continue
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    dups.add(ids[j])
+        return pd.DataFrame({id_col: sorted(dups)})
+
+    dup_df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
+    if not dup_ids:
+        return ds, []
+    import ray
+
+    dup_ref = ray.put(frozenset(dup_ids))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dups = _ray.get(dup_ref)
+        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids
