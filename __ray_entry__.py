@@ -460,6 +460,31 @@ def _q_transcripts_minhash_dedup(sf_dir: str):
     return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
 
 
+def _q_conversation_stats(sf_dir: str):
+    from chinese_corpus_cleaning_ray.pipelines.conversations import conversation_stats
+
+    def add_ts(batch: pa.Table) -> pa.Table:
+        us = [1_700_000_000_000_000 + d * 1_000_000 for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("ts", pa.array(us, pa.timestamp("us")))
+
+    ds = _transcripts_ds(sf_dir).map_batches(add_ts, batch_format="pyarrow")
+    out = conversation_stats(ds).to_pandas().sort_values("conv_id", kind="mergesort")
+    for c in ("n_turns", "total_chars", "first_ts", "last_ts"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_events_sessionize(sf_dir: str):
+    from chinese_corpus_cleaning_ray.pipelines.conversations import sessionize_events
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = sessionize_events(ds, gap_seconds=1800).to_pandas()
+    out = out.sort_values(["user_id", "session_idx"], kind="mergesort").reset_index(drop=True)
+    for c in ("user_id", "session_idx", "n_events", "start_ts", "end_ts"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_doc_simhash_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
 
@@ -502,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
+        "transcripts_conversation_stats": _q_conversation_stats,
+        "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
@@ -588,6 +615,32 @@ def oracle_sql() -> dict[str, str]:
                      FROM scored)
             SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
             FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "transcripts_conversation_stats": f"""
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   SUM(length(text)) AS total_chars,
+                   1700000000000000 + MIN(doc_id) * 1000000 AS first_ts,
+                   1700000000000000 + MAX(doc_id) * 1000000 AS last_ts
+            FROM ({_DERIVE_SQL})
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events),
+            marked AS (
+                SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                               OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+            sess AS (
+                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM marked)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(ts_s) AS start_ts, MAX(ts_s) AS end_ts
+            FROM sess GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}

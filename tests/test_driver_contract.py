@@ -98,6 +98,7 @@ def test_oracle_keys_subset(entry_mod):
     "events_hourly", "event_type_counts", "doc_rule_metrics", "doc_langid",
     "doc_token_stats", "doc_exact_dedup", "doc_distinct_sources", "knn_brute",
     "transcripts_rule_metrics", "transcripts_langid",
+    "transcripts_conversation_stats", "events_sessionize",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _to_df(entry_mod.queries()[name](SF_DIR))
