@@ -285,7 +285,7 @@ def write_transcripts(
     """Shard the synthetic table into ``out_dir`` (idempotent: skipped when the
     directory already holds the matching _meta marker)."""
     meta_path = os.path.join(out_dir, "_meta.txt")
-    marker = f"n={n} seed={seed} skew={int(skew)} rpf={rows_per_file} v=2"
+    marker = f"n={n} seed={seed} skew={int(skew)} rpf={rows_per_file} v=3"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if f.read().strip() == marker:
@@ -294,7 +294,9 @@ def write_transcripts(
     table = synthesize_transcripts(n, seed=seed, skew=skew)
     for fi, off in enumerate(range(0, table.num_rows, rows_per_file)):
         chunk = table.slice(off, rows_per_file)
-        pq.write_table(chunk, os.path.join(out_dir, f"transcripts-{fi:05d}.parquet"))
+        # small row groups let Ray split a file into multiple read blocks
+        pq.write_table(chunk, os.path.join(out_dir, f"transcripts-{fi:05d}.parquet"),
+                       row_group_size=5_000)
     with open(meta_path, "w") as f:
         f.write(marker + "\n")
     return out_dir

@@ -251,10 +251,15 @@ def run_quality_job(
     files_this_run = 0
     for chunk_start in range(0, len(pending), checkpoint_every):
         chunk = pending[chunk_start : chunk_start + checkpoint_every]
+        # more blocks than actors keeps the pool busy through the tail; a
+        # block never spans files (fragments split within row groups), so
+        # per-file resume stays correct — pieces are named by stem either way.
+        from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
+
         ds = rd.read_parquet(
             chunk,
             include_paths=True,
-            override_num_blocks=max(len(chunk), 1),
+            override_num_blocks=max(len(chunk), cluster_cpus() * 4, 1),
         )
         ds = ds.map_batches(make_add_partition_fn(cfg.num_partitions), batch_format="pyarrow")
         ds = build_quality_pipeline(ds, cfg, words=words)
