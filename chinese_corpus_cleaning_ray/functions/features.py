@@ -130,13 +130,38 @@ class FeatureWordsScorer:
             score = max(score, 0.8)  # ref:feature_words.py:310-312
         return score
 
-    def evaluate(self, text: str) -> dict:
-        """check + score + scrub in one call (single trie, shared detect)."""
-        passed, details = self.check_feature_words(text)
-        score = self.get_feature_score(text, matched=details["feature_words"])
-        return {
+    def evaluate(self, text: str, scrub: bool = True) -> dict:
+        """Fused check + score (+ scrub): ONE detect pass over the lines
+        serves both the whole-text match list and the per-line counts —
+        value-identical to check_feature_words + get_feature_score because a
+        match can never span a newline (no word contains ``\\n``), so
+        detect(text) ≡ concat(detect(line) for line). The reference scans
+        three times (ref:feature_words.py:177,190 then the score's re-detect);
+        this fused form is the engine's hot path (asserted equal in tests)."""
+        if self.use_dfa and self.words:
+            matched: list[str] = []
+            num = 0
+            denom = 0
+            detect = self.dfa.detect
+            for line in text.split("\n"):
+                stripped = line.strip()
+                if stripped:
+                    found = detect(line)
+                    matched.extend(found)
+                    num += len(found)
+                if len(stripped) >= 5:
+                    denom += 1
+            avg = num / denom if denom > 0 else 0.0
+            passed = avg <= self.cfg.max_feature_words_per_line
+        else:
+            passed, details = self.check_feature_words(text)
+            matched = details["feature_words"]
+        score = self.get_feature_score(text, matched=matched)
+        out = {
             "feature_pass": passed,
             "feature_score": score,
-            "feature_count": details["feature_count"],
-            "feature_avg_per_line": details["avg_per_line"],
+            "feature_count": len(matched),
         }
+        if scrub:
+            out["scrubbed_text"] = self.dfa.filter(text)
+        return out

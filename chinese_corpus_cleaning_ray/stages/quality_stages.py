@@ -97,14 +97,16 @@ class FeatureScrubStage:
         do_scrub = cfg.enable_scrub
         for i, text in enumerate(texts):
             if do_feat:
-                passed, details = sc.check_feature_words(text)
-                f_pass[i] = passed
-                f_score[i] = sc.get_feature_score(text, matched=details["feature_words"])
-                f_count[i] = details["feature_count"]
-            if do_scrub:
-                out = dfa.filter(text)
-                scrubbed[i] = out
-                s_count[i] = f_count[i] if do_feat else len(dfa.detect(text))
+                r = sc.evaluate(text, scrub=do_scrub)
+                f_pass[i] = r["feature_pass"]
+                f_score[i] = r["feature_score"]
+                f_count[i] = r["feature_count"]
+                if do_scrub:
+                    scrubbed[i] = r["scrubbed_text"]
+                    s_count[i] = r["feature_count"]
+            elif do_scrub:
+                scrubbed[i] = dfa.filter(text)
+                s_count[i] = len(dfa.detect(text))
         if do_feat:
             batch = batch.append_column("feature_pass", pa.array(f_pass, pa.bool_()))
             batch = batch.append_column("feature_score", pa.array(f_score, pa.float64()))

@@ -66,3 +66,14 @@ def test_common_words_excluded_from_score(scorer, trie):
     # 电话 is in the word list but also a "common word" → excluded from uniques
     text = "这部电话的音质表现相当不错而且续航能力也令人满意值得推荐给大家参考选购"
     assert scorer.get_feature_score(text) == pytest.approx(o.o_feature_score(trie, text)) == 1.0
+
+
+def test_fused_evaluate_matches_unfused(scorer, sample_texts):
+    for text in sample_texts[:400]:
+        fused = scorer.evaluate(text, scrub=True)
+        passed, details = scorer.check_feature_words(text)
+        want_score = scorer.get_feature_score(text, matched=details["feature_words"])
+        assert fused["feature_pass"] == passed
+        assert fused["feature_score"] == want_score
+        assert fused["feature_count"] == details["feature_count"]
+        assert fused["scrubbed_text"] == scorer.dfa.filter(text)
