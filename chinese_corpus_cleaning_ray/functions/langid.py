@@ -51,7 +51,7 @@ class HeuristicLangId:
         is_zh = lang == "zh" and conf >= self.cfg.threshold
         return (lang, conf, is_zh)
 
-    def predict_batch(self, texts: list[str]) -> dict[str, list]:
+    def predict_batch(self, texts: list[str], arrow_col=None) -> dict[str, list]:
         """Vectorized batch path, value-identical to ``predict`` (asserted in
         tests): the cleaned-empty guard is redundant in batch form because a
         cleaned-empty text necessarily has zh+latin == 0, and both branches
@@ -60,7 +60,7 @@ class HeuristicLangId:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        arr = pa.array(texts, pa.large_string())
+        arr = arrow_col if arrow_col is not None else pa.array(texts, pa.large_string())
         n = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
         zh = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False).astype(np.float64)
         lat = pc.count_substring_regex(arr, "[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -95,7 +95,7 @@ class FastTextLangId:
         conf = float(confs[0])
         return (lang, conf, lang == "zh" and conf >= self.cfg.threshold)
 
-    def predict_batch(self, texts: list[str]) -> dict[str, list]:
+    def predict_batch(self, texts: list[str], arrow_col=None) -> dict[str, list]:
         langs, confs, is_zh = [], [], []
         for t in texts:
             lg, cf, z = self.predict(t)

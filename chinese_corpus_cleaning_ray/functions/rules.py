@@ -218,7 +218,7 @@ def evaluate_rules(text: str, cfg: RuleConfig) -> dict:
     }
 
 
-def evaluate_rules_arrow(texts: list[str], cfg: RuleConfig) -> dict:
+def evaluate_rules_arrow(texts: list[str], cfg: RuleConfig, arrow_col=None) -> dict:
     """Arrow/numpy-vectorized batch evaluation — semantically identical to the
     scalar path (asserted over the full fixture mix in tests/test_rules.py).
 
@@ -242,7 +242,7 @@ def evaluate_rules_arrow(texts: list[str], cfg: RuleConfig) -> dict:
 
     from chinese_corpus_cleaning_ray.functions.dedup import _codepoints
 
-    arr = pa.array(texts, pa.large_string())
+    arr = arrow_col if arrow_col is not None else pa.array(texts, pa.large_string())
     n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
     zh = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False).astype(np.float64)
     vbar = pc.count_substring(arr, "|").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -45,14 +45,15 @@ def make_langid_rules_fn(cfg: PipelineConfig):
 
     def langid_rules(batch: pa.Table) -> pa.Table:
         texts = _texts(batch)
+        col = batch.column("text")
         if cfg.enable_langid:
             lid = make_langid(cfg.langid)  # heuristic: construction is free
-            lres = lid.predict_batch(texts)
+            lres = lid.predict_batch(texts, arrow_col=col)
             batch = batch.append_column("lang", pa.array(lres["lang"], pa.string()))
             batch = batch.append_column("lang_conf", pa.array(lres["lang_conf"], pa.float64()))
             batch = batch.append_column("is_zh", pa.array(lres["is_zh"], pa.bool_()))
         if cfg.enable_rule_filter:
-            rb = evaluate_rules_arrow(texts, cfg.rule)
+            rb = evaluate_rules_arrow(texts, cfg.rule, arrow_col=col)
             batch = batch.append_column("rule_pass", pa.array(rb["rule_pass"]))
             batch = batch.append_column("rule_score", pa.array(rb["rule_score"], pa.float64()))
             batch = batch.append_column("rule_error", pa.array(rb["rule_error"]))
