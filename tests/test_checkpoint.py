@@ -117,3 +117,31 @@ def test_chunked_incremental_commit(ray_session, input_dir, cfg, tmp_path):
     out = str(tmp_path / "out3")
     stats = run_quality_job(input_dir, out, cfg, checkpoint_every=2)
     assert stats["files_done"] == 5 and stats["total"] == 5_000
+
+
+def test_compaction_preserves_output_and_resume(ray_session, input_dir, cfg, tmp_path):
+    """tools/compact.py merges (partition, stem) piece groups; output bytes and
+    resume semantics (per-stem invalidation) survive."""
+    import glob
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import compact as compact_mod
+
+    from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
+
+    out = str(tmp_path / "outc")
+    run_quality_job(input_dir, out, cfg)
+    m = Manifest(out)
+    before = _read_all_sorted(m.data_dir)
+    n_before = len(glob.glob(f"{m.data_dir}/part_id=*/*.parquet"))
+    stats = compact_mod.compact(out)
+    n_after = len(glob.glob(f"{m.data_dir}/part_id=*/*.parquet"))
+    assert n_after <= n_before and stats["pieces_after"] == n_after
+    assert before.equals(_read_all_sorted(m.data_dir))
+    # per-stem invalidation still works on compacted pieces
+    victim = sorted(m.done_stems())[0]
+    m.remove(victim)
+    stats2 = run_quality_job(input_dir, out, cfg)
+    assert stats2["files_this_run"] == 1 and stats2["pieces_cleaned"] > 0
+    assert before.equals(_read_all_sorted(m.data_dir))
