@@ -97,7 +97,9 @@ def _rule_metrics_batch(batch: pa.Table) -> pa.Table:
         "vbar_count": pa.array(vbar, pa.int64()),
         "comma_count": pa.array(comma, pa.int64()),
         "url_count": pa.array(url, pa.int64()),
-        "avg_line_len": pa.array(avg_line, pa.float64()),
+        # -1.0 sentinel instead of null: avoids NaN-vs-NULL ambiguity in the
+        # driver's value-hash comparison
+        "avg_line_len": pa.array([a if a is not None else -1.0 for a in avg_line], pa.float64()),
         "length_pass": pa.array([x >= 100 for x in n], pa.bool_()),
         "avg_line_pass": pa.array([a is not None and a >= 5.0 for a in avg_line], pa.bool_()),
         "chinese_pass": pa.array(
@@ -116,7 +118,7 @@ _RULE_METRIC_SQL_COLS = f"""
            length(text) - length(replace(text, '|', '')) AS vbar_count,
            length(text) - length(replace(text, ',', '')) AS comma_count,
            length(regexp_extract_all(text, '{_URL_PATTERN.replace("'", "''")}')) AS url_count,
-           list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']) AS avg_line_len,
+           COALESCE(list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']), -1.0) AS avg_line_len,
            length(text) >= 100 AS length_pass,
            COALESCE(list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']) >= 5.0, false) AS avg_line_pass,
            (length(text) > 0 AND length(regexp_replace(text, '[^一-鿿]', '', 'g')) / length(text) >= 0.6) AS chinese_pass,
