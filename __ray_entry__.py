@@ -159,7 +159,7 @@ _LANGID_SQL_COLS = """
 # ---------------------------------------------------------------------------
 
 def _q_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
@@ -182,7 +182,6 @@ def _q_pricing_summary(sf_dir: str):
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_base_price_cents"),
-            Mean("qty", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
@@ -190,7 +189,12 @@ def _q_pricing_summary(sf_dir: str):
         .reset_index(drop=True)
     )
     out["count_order"] = out["count_order"].astype("int64")
-    return out
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["sum_base_price_cents"] = out["sum_base_price_cents"].astype("int64")
+    # exact-int division — bit-identical to the oracle's SUM/COUNT division
+    out["avg_qty"] = out["sum_qty"].astype("float64") / out["count_order"]
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_cents", "avg_qty", "count_order"]]
 
 
 def _q_topk_users(sf_dir: str):
@@ -220,7 +224,9 @@ def _q_orders_by_nation(sf_dir: str):
         lookup = ray.get(lookup_ref)
         nk = [lookup[k] for k in batch.column("o_custkey").to_pylist()]
         price_cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
-        return pa.table({"c_nationkey": pa.array(nk, pa.int64()),
+        # int32 to match the customer table's native c_nationkey dtype (the
+        # oracle GROUP BY passes it through unwidened)
+        return pa.table({"c_nationkey": pa.array(nk, pa.int32()),
                          "price_cents": price_cents})
 
     out = (
@@ -233,6 +239,10 @@ def _q_orders_by_nation(sf_dir: str):
         .reset_index(drop=True)
     )
     out["order_count"] = out["order_count"].astype("int64")
+    out["total_price_cents"] = out["total_price_cents"].astype("int64")
+    # int32 to match the customer table's native c_nationkey dtype (the
+    # oracle GROUP BY passes it through unwidened)
+    out["c_nationkey"] = out["c_nationkey"].astype("int32")
     return out
 
 
@@ -544,11 +554,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # NB: DuckDB SUM(BIGINT) returns HUGEINT, which pandas coerces to
+        # float64 — wrap every SUM in CAST(... AS BIGINT) so the oracle's
+        # dtypes match the engine's int64 output bit-for-bit. avg_qty is the
+        # single division of the same two exact integers on both sides.
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   AVG(CAST(l_quantity AS BIGINT)) AS avg_qty,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -562,7 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_by_nation": """
             SELECT c_nationkey,
                    COUNT(*) AS order_count,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
         """,
@@ -621,9 +635,9 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_conversation_stats": f"""
             SELECT conv_id,
                    COUNT(*) AS n_turns,
-                   SUM(length(text)) AS total_chars,
-                   1700000000000000 + MIN(doc_id) * 1000000 AS first_ts,
-                   1700000000000000 + MAX(doc_id) * 1000000 AS last_ts
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(1700000000000000 + MIN(doc_id) * 1000000 AS BIGINT) AS first_ts,
+                   CAST(1700000000000000 + MAX(doc_id) * 1000000 AS BIGINT) AS last_ts
             FROM ({_DERIVE_SQL})
             GROUP BY conv_id ORDER BY conv_id
         """,
@@ -636,11 +650,11 @@ def oracle_sql() -> dict[str, str]:
                                OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
             sess AS (
-                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
                 FROM marked)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
-                   MIN(ts_s) AS start_ts, MAX(ts_s) AS end_ts
+                   CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
         """,
