@@ -99,9 +99,13 @@ class PipelineConfig:
     keep_original_text: bool = False
 
     def config_hash(self) -> str:
-        """Stable hash over semantic fields — stamped into checkpoint manifests."""
+        """Stable hash over semantic + layout fields — stamped into checkpoint
+        manifests. num_partitions and keep_original_text stay IN the hash: both
+        change the on-disk layout/schema, so resuming across a change of either
+        must invalidate (mixing two part_id layouts in one dir is corruption).
+        Only pure execution-throughput knobs are excluded."""
         d = asdict(self)
-        for k in ("num_partitions", "batch_size", "scrub_actors", "ppl_actors", "keep_original_text"):
+        for k in ("batch_size", "scrub_actors", "ppl_actors"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True, ensure_ascii=False).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -291,6 +291,14 @@ def write_transcripts(
             if f.read().strip() == marker:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # marker mismatch (or missing): drop every existing shard BEFORE writing,
+    # so regenerating with a smaller n can't leave stale shards that
+    # read_transcripts would glob into the corpus
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for f in os.listdir(out_dir):
+        if f.startswith("transcripts-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
     table = synthesize_transcripts(n, seed=seed, skew=skew)
     for fi, off in enumerate(range(0, table.num_rows, rows_per_file)):
         chunk = table.slice(off, rows_per_file)

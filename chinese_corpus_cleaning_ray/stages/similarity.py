@@ -58,23 +58,32 @@ class BruteKnnStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int32()),
+                    self.id_col: pa.array([], id_type),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         m = _normalize(_batch_matrix(batch, self.vec_col))
-        sims = m @ self.q.T  # (B, Q)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        # pre-sort rows by id so the stable argsort below breaks exact-cos
+        # ties toward the smaller id — matches the oracle's (cos DESC, id ASC)
+        id_order = np.argsort(ids, kind="stable")
+        ids = ids[id_order]
+        sims = m[id_order] @ self.q.T  # (B, Q)
         k = min(self.k, sims.shape[0])
-        out_q, out_id, out_cos = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            for t in top:
-                out_q.append(qi)
-                out_id.append(ids[t])
-                out_cos.append(col[t])
+        top = np.argsort(-sims, axis=0, kind="stable")[:k]  # (k, Q)
+        nq = sims.shape[1]
+        out_q = np.repeat(np.arange(nq, dtype=np.int32), k)
+        flat = top.T.ravel()  # query-major
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int32()),
-                self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
-                "cos": pa.array(out_cos, pa.float64()),
+                "query_id": pa.array(out_q),
+                self.id_col: pa.array(ids[flat], id_type),
+                "cos": pa.array(sims[flat, np.repeat(np.arange(nq), k)], pa.float64()),
             }
         )
 

@@ -153,13 +153,18 @@ def make_piece_writer(data_dir: str, keep_text: bool):
         pids = batch.column(PART_COL).to_numpy(zero_copy_only=False)
 
         n = batch.num_rows
-        kept_col = batch.column("keep").to_numpy(zero_copy_only=False)
-        err_col = batch.column("rule_error").to_numpy(zero_copy_only=False)
-        scr_col = (
-            batch.column("sensitive_count").to_numpy(zero_copy_only=False) > 0
-            if "sensitive_count" in batch.column_names
-            else np.zeros(n, dtype=bool)
-        )
+
+        # counter columns are optional: configs with individual stages disabled
+        # (enable_rule_filter=False etc.) legitimately omit them
+        def _col_or_zeros(name: str, as_bool: bool = False):
+            if name in batch.column_names:
+                v = batch.column(name).to_numpy(zero_copy_only=False)
+                return (v > 0) if as_bool else v
+            return np.zeros(n, dtype=bool)
+
+        kept_col = _col_or_zeros("keep")
+        err_col = _col_or_zeros("rule_error")
+        scr_col = _col_or_zeros("sensitive_count", as_bool=True)
 
         out_stem: list[str] = []
         out_pid: list[int] = []
@@ -266,6 +271,7 @@ def run_quality_job(
         writer = make_piece_writer(manifest.data_dir, cfg.keep_original_text)
         counters = ds.map_batches(writer, batch_format="pyarrow", batch_size=None).to_pandas()
 
+        stems_with_rows = set()
         for stem, g in counters.groupby("stem"):
             per_part = {
                 int(pid): int(t) for pid, t in g.groupby(PART_COL)["total"].sum().items()
@@ -279,6 +285,22 @@ def run_quality_job(
                 "completed_at": time.time(),
             }
             manifest.mark_done(stem, record)
+            stems_with_rows.add(stem)
+            files_this_run += 1
+        # zero-row inputs produce no counter rows; mark them done too so
+        # resume converges instead of re-listing them forever
+        for p in chunk:
+            stem = _stem(p)
+            if stem in stems_with_rows:
+                continue
+            manifest.mark_done(stem, {
+                "stem": stem,
+                "input_size": os.path.getsize(p),
+                "counters": {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0},
+                "per_partition": {},
+                "config_hash": cfg_hash,
+                "completed_at": time.time(),
+            })
             files_this_run += 1
 
     totals = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}

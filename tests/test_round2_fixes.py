@@ -1,0 +1,173 @@
+"""Round-2 hardening: compaction crash recovery, zero-row inputs, disabled
+rule-filter configs, layout knobs in config_hash, stale-shard cleanup on
+regeneration, knn tie-breaking and empty batches."""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+@pytest.fixture(scope="module")
+def input_dir(tmp_path_factory):
+    from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
+
+    d = tmp_path_factory.mktemp("r2_input")
+    return write_transcripts(str(d / "t"), 3_000, seed=7, rows_per_file=1_000)
+
+
+@pytest.fixture()
+def cfg():
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+
+    return replace(DEFAULT_CONFIG, num_partitions=4)
+
+
+def _read_all_sorted(data_dir):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(data_dir, partitioning="hive").to_table()
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def test_config_hash_includes_layout_knobs():
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+
+    base = DEFAULT_CONFIG.config_hash()
+    assert replace(DEFAULT_CONFIG, num_partitions=128).config_hash() != base
+    assert replace(DEFAULT_CONFIG, keep_original_text=True).config_hash() != base
+    # pure throughput knobs must NOT invalidate checkpoints
+    assert replace(DEFAULT_CONFIG, batch_size=1024).config_hash() == base
+    assert replace(DEFAULT_CONFIG, scrub_actors=3).config_hash() == base
+
+
+def test_compact_crash_recovery_rolls_forward_and_back(ray_session, input_dir, cfg, tmp_path):
+    """Journal present + merged piece committed → surviving sources are
+    deleted (roll forward, no duplicate rows). Journal present + no merged
+    piece → tmp removed, sources kept (roll back)."""
+    import compact as compact_mod
+
+    from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
+
+    out = str(tmp_path / "out")
+    run_quality_job(input_dir, out, cfg)
+    m = Manifest(out)
+    ref = _read_all_sorted(m.data_dir)
+
+    # manufacture a multi-piece (pdir, stem) group by splitting one piece
+    some_piece = sorted(glob.glob(f"{m.data_dir}/part_id=*/*.parquet"))[0]
+    pdir = os.path.dirname(some_piece)
+    stem = os.path.basename(some_piece).rsplit("-", 1)[0]
+    t = pq.read_table(some_piece)
+    assert t.num_rows >= 2
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(pdir, f"{stem}-aaaa0001.parquet"))
+    pq.write_table(t.slice(half), os.path.join(pdir, f"{stem}-aaaa0002.parquet"))
+    os.remove(some_piece)
+    files = [f"{stem}-aaaa0001.parquet", f"{stem}-aaaa0002.parquet"]
+
+    # --- simulate crash AFTER commit, BEFORE source deletion ---
+    tables = [pq.read_table(os.path.join(pdir, f)) for f in files]
+    merged = pa.concat_tables(tables).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    final_name = f"{stem}-deadbeef.parquet"
+    pq.write_table(merged, os.path.join(pdir, final_name))
+    with open(os.path.join(pdir, f".compact-journal-{stem}.json"), "w") as fh:
+        json.dump({"sources": files, "merged": final_name, "tmp": "x.tmp",
+                   "rows": merged.num_rows}, fh)
+    # both merged piece and sources exist now = duplicated rows on disk
+    stats = compact_mod.compact(out)
+    assert stats["journals_recovered"] >= 1
+    assert _read_all_sorted(m.data_dir).equals(ref), "roll-forward left duplicates"
+    for f in files:
+        assert not os.path.exists(os.path.join(pdir, f))
+
+    # --- simulate crash BEFORE commit: journal + tmp only ---
+    out2 = str(tmp_path / "out2")
+    run_quality_job(input_dir, out2, cfg)
+    m2 = Manifest(out2)
+    ref2 = _read_all_sorted(m2.data_dir)
+    pdir2 = sorted(glob.glob(f"{m2.data_dir}/part_id=*"))[0]
+    some_stem = "whatever"
+    with open(os.path.join(pdir2, ".fake.tmp"), "w") as fh:
+        fh.write("junk")
+    with open(os.path.join(pdir2, f".compact-journal-{some_stem}.json"), "w") as fh:
+        json.dump({"sources": ["nonexistent.parquet"], "merged": "never-written.parquet",
+                   "tmp": ".fake.tmp", "rows": 0}, fh)
+    stats2 = compact_mod.compact(out2)
+    assert stats2["journals_recovered"] >= 1
+    assert not os.path.exists(os.path.join(pdir2, ".fake.tmp"))
+    assert _read_all_sorted(m2.data_dir).equals(ref2)
+
+
+def test_zero_row_input_marked_done(ray_session, cfg, tmp_path):
+    from chinese_corpus_cleaning_ray.sources.transcripts import TRANSCRIPT_SCHEMA, write_transcripts
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    d = str(tmp_path / "in")
+    write_transcripts(d, 1_000, seed=9, rows_per_file=500)
+    empty = pa.table({f.name: pa.array([], f.type) for f in TRANSCRIPT_SCHEMA})
+    pq.write_table(empty, os.path.join(d, "transcripts-zzzzz.parquet"))
+
+    out = str(tmp_path / "out")
+    stats = run_quality_job(d, out, cfg)
+    assert stats["files_done"] == 3 and stats["total"] == 1_000
+    stats2 = run_quality_job(d, out, cfg)
+    assert stats2["files_this_run"] == 0, "zero-row file re-listed as pending"
+
+
+def test_job_with_rule_filter_disabled(ray_session, input_dir, cfg, tmp_path):
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    cfg2 = replace(cfg, enable_rule_filter=False)
+    stats = run_quality_job(input_dir, str(tmp_path / "out"), cfg2)
+    assert stats["total"] == 3_000
+    assert stats["errors"] == 0  # no rule_error column → counted as zero
+
+
+def test_write_transcripts_removes_stale_shards(tmp_path):
+    from chinese_corpus_cleaning_ray.sources.transcripts import read_transcripts, write_transcripts
+
+    d = str(tmp_path / "t")
+    write_transcripts(d, 5_000, seed=3, rows_per_file=1_000)
+    assert len(glob.glob(f"{d}/transcripts-*.parquet")) == 5
+    write_transcripts(d, 2_000, seed=3, rows_per_file=1_000)
+    files = glob.glob(f"{d}/transcripts-*.parquet")
+    assert len(files) == 2, "stale shards survived regeneration"
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 2_000
+
+
+def test_brute_knn_tie_break_and_empty_batch():
+    from chinese_corpus_cleaning_ray.stages.similarity import BruteKnnStage
+
+    q = np.array([[1.0, 0.0]])
+    # ids out of order; vec 7 and 3 are identical ⇒ exact cosine tie — the
+    # smaller id must win the k-th slot
+    tbl = pa.table({
+        "vec_id": pa.array([7, 3, 9], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float64())),
+    })
+    st = BruteKnnStage(q, k=1, id_col="vec_id", vec_col="embedding")
+    out = st(tbl)
+    assert out.column("vec_id").to_pylist() == [3]
+
+    empty = tbl.slice(0, 0)
+    out0 = st(empty)
+    assert out0.num_rows == 0
+    assert out0.column_names == ["query_id", "vec_id", "cos"]
