@@ -9,9 +9,12 @@ but the transcript data model makes per-conversation reading natural
   partial row per conv per batch) before the small groupby, so the shuffle
   moves per-conv partials, not rows (SURVEY §4 "pre-aggregate" discipline).
 - ``sessionize_events`` — the streaming-window pattern from the events table:
-  per-user tumbling sessions split on gaps > ``gap``; implemented as
-  groupby(user).map_groups over ts-sorted groups (Ray Data has no event-time
-  windows; the ordering assumption is per-group sort inside the task).
+  per-user tumbling sessions split on gaps > ``gap``. Shuffle key is a COARSE
+  shard of user_id (never raw user_id: groupby.map_groups pays ~0.3 ms Python
+  per group, so one group per user is pathological at millions of users); the
+  per-shard kernel sessionizes ALL of the shard's users in one numpy pass over
+  the (user, ts, event_id)-sorted frame. Shard count is the memory knob — a
+  shard must fit one worker.
 """
 
 from __future__ import annotations
@@ -57,23 +60,56 @@ def conversation_stats(ds):
     return grouped
 
 
-def sessionize_events(ds, gap_seconds: int = 1800):
+def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     """Per-user sessions: consecutive events ≤ gap apart share a session.
     Output: one row per session (user_id, session_idx, n_events, start_ts,
-    end_ts as epoch seconds). groupby(user_id) shuffle; per-group pandas."""
+    end_ts as epoch seconds).
+
+    Partitioning: groupby(hash-shard of user_id) — a user never splits across
+    shards, so the per-shard kernel sees every event of its users. Inside a
+    shard everything is one vectorized numpy pass (sort → boundary flags →
+    cumsum), no per-user Python."""
+    import pyarrow.compute as pc
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        # shards must be a power of two: shard = user_id & (shards-1)
+        shard = pc.bit_wise_and(batch.column("user_id"), shards - 1)
+        return batch.append_column("shard", pc.cast(shard, pa.int32()))
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].astype("int64") // 1_000_000  # epoch seconds
-        new_session = (ts.diff().fillna(gap_seconds + 1) > gap_seconds).cumsum()
-        out = (
-            pd.DataFrame({"ts_s": ts, "sid": new_session, "event_id": g["event_id"]})
-            .groupby("sid")
-            .agg(n_events=("event_id", "size"), start_ts=("ts_s", "min"), end_ts=("ts_s", "max"))
-            .reset_index(drop=True)
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts_s = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = gap_seconds + 1
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        is_new = new_user | (gap > gap_seconds)
+        starts = np.flatnonzero(is_new)            # one per session, sorted
+        ends = np.append(starts[1:], n)            # exclusive
+        # per-user session ordinal: session counter minus the counter at the
+        # user's first session
+        sess_cum = np.cumsum(is_new)               # 1-based counter per row
+        user_starts = np.flatnonzero(new_user)
+        sessions_per_user = np.diff(np.append(
+            np.searchsorted(starts, user_starts), len(starts)))
+        base = np.repeat(sess_cum[user_starts], sessions_per_user)
+        session_idx = sess_cum[starts] - base
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_idx": session_idx.astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "start_ts": ts_s[starts],
+                "end_ts": ts_s[ends - 1],
+            }
         )
-        out.insert(0, "session_idx", np.arange(len(out), dtype=np.int64))
-        out.insert(0, "user_id", group["user_id"].iloc[0])
-        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sessions, batch_format="pandas")
+    )

@@ -133,12 +133,19 @@ def minhash_dedup(
     num_bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
     concurrency=8,
 ):
     """Returns (deduped_ds, dup_ids_list_or_ds). A row is a duplicate when ANY
-    LSH band bucket contains a row with a smaller id."""
-    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+    LSH band bucket contains a row with a smaller id.
+
+    ``strategy="auto"`` (default) counts the distinct dup ids first (tiny
+    metadata pass over the materialized dup-id set) and broadcasts them via
+    ``ray.put`` when ≤ ``broadcast_limit``, else falls back to the distributed
+    hash anti-join — nobody has to know about the knob for the 100-TB path to
+    stay safe. ``"broadcast"`` / ``"join"`` force a side."""
+    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus, resolve_pool
 
     bands = ds.map_batches(
         MinHashStage,
@@ -172,15 +179,33 @@ def minhash_dedup(
         .map_groups(mark_dups, batch_format="pandas")
     )
 
+    if strategy == "auto":
+        # the dup-id set is tiny relative to the corpus; materialize it once
+        # and let its size choose the filter side
+        dup_ids_ds = dup_ids_ds.materialize()
+        strategy = "broadcast" if dup_ids_ds.count() <= broadcast_limit else "join"
+
     if strategy == "join":
-        # distributed anti-join: distinct dup ids + flag → left join → keep null flags
-        marker = dup_ids_ds.groupby(id_col).map_groups(
-            lambda g: g.head(1).assign(__dup=np.int8(1)), batch_format="pandas"
+        # distributed anti-join: distinct dup ids + flag → left join → keep
+        # null flags. Distinct is shard-grouped (same coarse-key discipline:
+        # groupby on raw ids would pay per-group Python per distinct id).
+        def add_id_shard(g: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(g[id_col], index=False).to_numpy()
+            return g.assign(__shard=(h & 255).astype(np.int32))
+
+        marker = (
+            dup_ids_ds.map_batches(add_id_shard, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(
+                lambda g: g.drop_duplicates(subset=[id_col])
+                          .drop(columns=["__shard"]).assign(__dup=np.int8(1)),
+                batch_format="pandas",
+            )
         )
         joined = ds.join(
             marker,
             join_type="left_outer",
-            num_partitions=8,
+            num_partitions=max(8, cluster_cpus()),
             on=(id_col,),
             right_suffix="_dup",
         )
@@ -239,7 +264,7 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
     non-minimal member of a verified pair is dropped (keep-first by id).
     Same coarse-shard grouping discipline as minhash_dedup.
     """
-    from chinese_corpus_cleaning_ray.functions.dedup import hamming64, simhash64
+    from chinese_corpus_cleaning_ray.functions.dedup import simhash64
 
     def add_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -267,16 +292,37 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
         )
 
     def mark(group: pd.DataFrame) -> pd.DataFrame:
-        dups: set = set()
-        for (_, _), bucket in group.groupby(["band_id", "band_val"]):
-            if len(bucket) <= 1:
+        """Within each (band_id, band_val) bucket (id-sorted), a row is a
+        duplicate iff ANY earlier row is within max_hamming. The Hamming test
+        is a numpy-broadcast XOR + SWAR popcount, chunked so the pairwise
+        matrix never exceeds ~4M cells regardless of bucket population."""
+        from chinese_corpus_cleaning_ray.functions.dedup import popcount64
+
+        g = group.sort_values(["band_id", "band_val", id_col], kind="mergesort")
+        sims_u = np.ascontiguousarray(g["simhash"].to_numpy(np.int64)).view(np.uint64)
+        n = len(g)
+        bid = g["band_id"].to_numpy()
+        bval = g["band_val"].to_numpy()
+        new_b = np.empty(n, dtype=bool)
+        new_b[0] = True
+        new_b[1:] = (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])
+        starts = np.flatnonzero(new_b)
+        ends = np.append(starts[1:], n)
+        dup_mask = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b <= 1:
                 continue
-            rows = bucket.sort_values(id_col).to_dict("records")
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    if hamming64(int(rows[i]["simhash"]), int(rows[j]["simhash"])) <= max_hamming:
-                        dups.add(rows[j][id_col])
-        return pd.DataFrame({id_col: sorted(dups)})
+            v = sims_u[s:e]
+            chunk = max(1, 4_000_000 // b)
+            for c0 in range(1, b, chunk):
+                c1 = min(c0 + chunk, b)
+                d = popcount64(v[c0:c1, None] ^ v[None, :c1])  # (rows, c1)
+                tri = np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
+                dup_mask[s + c0 : s + c1] |= ((d <= max_hamming) & tri).any(axis=1)
+        if not dup_mask.any():
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
+        return pd.DataFrame({id_col: pd.unique(g[id_col].to_numpy()[dup_mask])})
 
     dup_ids_ds = (
         ds.map_batches(add_bands, batch_format="pyarrow")

@@ -156,19 +156,67 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
                      concurrency=concurrency)
 
 
+def _bucket_keeper_dups(v: np.ndarray, threshold: float,
+                        chunk: int = 2048) -> np.ndarray:
+    """Keeper-based near-dup mask over one bucket's normalized vectors (rows
+    id-sorted): row j is a duplicate iff some NON-duplicate i<j has cosine ≥
+    threshold (the reference's sequential skip-dups scan). The cosine work is
+    vectorized matmul; matrices are chunked so memory stays bounded for any
+    bucket population."""
+    b = len(v)
+    dup = np.zeros(b, dtype=bool)
+    if b <= 1:
+        return dup
+    if b <= chunk:
+        sims = v @ v.T
+        for j in range(1, b):
+            col = sims[:j, j]
+            if col[~dup[:j]].size and col[~dup[:j]].max() >= threshold:
+                dup[j] = True
+        return dup
+    for c0 in range(0, b, chunk):
+        c1 = min(c0 + chunk, b)
+        cv = v[c0:c1]
+        # vs earlier keepers, in bounded column slabs
+        pre = np.zeros(c1 - c0, dtype=bool)
+        keep_idx = np.flatnonzero(~dup[:c0])
+        for k0 in range(0, len(keep_idx), chunk * 4):
+            kk = keep_idx[k0 : k0 + chunk * 4]
+            pre |= ((cv @ v[kk].T) >= threshold).any(axis=1)
+        local = cv @ cv.T
+        for r in range(c1 - c0):
+            if pre[r]:
+                dup[c0 + r] = True
+                continue
+            col = local[:r, r]
+            live = ~dup[c0 : c0 + r]
+            if col[live].size and col[live].max() >= threshold:
+                dup[c0 + r] = True
+    return dup
+
+
 def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                    threshold: float = 0.85, nbits: int = 8, seed: int = 42):
+                    threshold: float = 0.85, nbits: int | None = None,
+                    seed: int = 42, shards: int = 256,
+                    target_bucket_rows: int = 128):
     """Embedding-cosine near-dup removal — the distributed re-expression of the
     reference's check_duplicate (max cosine vs corpus ≥ 0.85 → duplicate,
     ref:utils/clustering.py:169-185) without the O(n²) matrix:
 
-    rows are LSH-bucketed by random-hyperplane signs; within each bucket the
-    pairwise cosine is computed vectorized and every non-minimal member of a
-    ≥threshold pair is dropped (keep-first by id). Near-identical vectors agree
-    on all sign bits with high probability; recall is tuned via nbits.
-    Returns (deduped_ds, dup_ids)."""
-    import pandas as pd
-    import pyarrow.compute as pc  # noqa: F401
+    rows are LSH-bucketed by random-hyperplane signs; within each bucket a
+    keeper-based vectorized cosine scan drops every row that matches an
+    earlier keeper (keep-first by id). Near-identical vectors agree on all
+    sign bits with high probability.
+
+    Scale levers: ``nbits=None`` sizes the bucket space from the corpus count
+    (≈ n / target_bucket_rows buckets, clamped to [4, 24] bits) so expected
+    bucket population stays constant as the corpus grows; grouping is by a
+    COARSE shard of the bucket (never one Ray group per bucket); in-bucket
+    matrices are chunk-bounded. Returns (deduped_ds, dup_ids)."""
+    if nbits is None:
+        n_rows = ds.count()  # parquet-metadata count on an un-mapped read
+        nbits = int(np.clip(np.ceil(np.log2(max(n_rows, 2) / target_bucket_rows)),
+                            4, 24))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, vec_col))
@@ -178,30 +226,31 @@ def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             {
                 id_col: batch.column(id_col),
                 "bucket": pa.array(buckets, pa.int32()),
+                "shard": pa.array((buckets % shards).astype(np.int32)),
                 vec_col: batch.column(vec_col),
             }
         )
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) <= 1:
-            return pd.DataFrame({id_col: []})
-        g = group.sort_values(id_col)
-        m = _normalize(np.asarray(list(g[vec_col]), dtype=np.float64))
-        sims = m @ m.T
-        ids = list(g[id_col])
-        dups = set()
-        for i in range(len(ids)):
-            if ids[i] in dups:
-                continue
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    dups.add(ids[j])
-        return pd.DataFrame({id_col: sorted(dups)})
+    def mark(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        n = t.num_rows
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(t, vec_col))
+        new_b = np.empty(n, dtype=bool)
+        new_b[0] = True
+        new_b[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(new_b)
+        ends = np.append(starts[1:], n)
+        dup_mask = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                dup_mask[s:e] = _bucket_keeper_dups(m[s:e], threshold)
+        return t.select([id_col]).filter(pa.array(dup_mask))
 
     dup_df = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(mark, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pyarrow")
         .to_pandas()
     )
     dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []

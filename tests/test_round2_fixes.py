@@ -171,3 +171,69 @@ def test_brute_knn_tie_break_and_empty_batch():
     out0 = st(empty)
     assert out0.num_rows == 0
     assert out0.column_names == ["query_id", "vec_id", "cos"]
+
+
+def test_popcount64_matches_scalar_hamming():
+    from chinese_corpus_cleaning_ray.functions.dedup import hamming64, popcount64
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(-(2**63), 2**63, size=200, dtype=np.int64)
+    b = rng.randint(-(2**63), 2**63, size=200, dtype=np.int64)
+    x = a.view(np.uint64) ^ b.view(np.uint64)
+    got = popcount64(x)
+    want = [hamming64(int(ai), int(bi)) for ai, bi in zip(a, b)]
+    assert got.tolist() == want
+
+
+def test_bucket_keeper_dups_chunked_equals_direct():
+    from chinese_corpus_cleaning_ray.stages.similarity import _bucket_keeper_dups, _normalize
+
+    rng = np.random.RandomState(1)
+    base = _normalize(rng.standard_normal((40, 8)))
+    # plant near-duplicate chains so keeper-skip semantics matter
+    v = np.vstack([base, base[:10] + rng.standard_normal((10, 8)) * 0.01])
+    v = _normalize(v)
+    direct = _bucket_keeper_dups(v, 0.98, chunk=10_000)
+    chunked = _bucket_keeper_dups(v, 0.98, chunk=7)
+    assert direct.tolist() == chunked.tolist()
+    assert direct[40:].any()  # planted dups detected
+
+
+def test_sessionize_shard_kernel_matches_naive(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import sessionize_events
+
+    rng = np.random.RandomState(5)
+    n = 4_000
+    users = rng.randint(0, 60, n)
+    ts = np.sort(rng.randint(0, 400_000, n)) * 1_000_000  # epoch us
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = (
+        sessionize_events(rd.from_arrow(tbl), gap_seconds=600)
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    # naive per-user reference
+    import pandas as pd
+    df = tbl.to_pandas()
+    df["ts_s"] = df["ts"].astype("int64") // 1_000_000
+    rows = []
+    for uid, g in df.sort_values(["user_id", "ts_s", "event_id"]).groupby("user_id"):
+        sidx, start, last, cnt = -1, None, None, 0
+        for t in g["ts_s"]:
+            if last is None or t - last > 600:
+                if last is not None:
+                    rows.append((uid, sidx, cnt, start, last))
+                sidx += 1
+                start, cnt = t, 0
+            cnt += 1
+            last = t
+        rows.append((uid, sidx, cnt, start, last))
+    ref = pd.DataFrame(rows, columns=["user_id", "session_idx", "n_events",
+                                      "start_ts", "end_ts"])
+    ref = ref.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert out.astype("int64").equals(ref.astype("int64"))
