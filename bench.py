@@ -94,6 +94,41 @@ def run_bench() -> dict:
                 res.to_pandas()
             qtimes[name] = round(time.perf_counter() - t0, 3)
 
+    # production-scale word list: trie build + scrub kernel at the reference's
+    # 43,378 merged entries (synthetic content, production shape) — the cost a
+    # real user's first run pays per actor
+    wl_bench: dict = {}
+    if not os.environ.get("CCC_BENCH_SCALING_CHILD"):
+        import random
+
+        from chinese_corpus_cleaning_ray.functions.scrub import DFAScrubber
+        from chinese_corpus_cleaning_ray.functions.wordlists import synthesize_wordlist
+        from chinese_corpus_cleaning_ray.sources.transcripts import synthesize_transcripts
+
+        words = synthesize_wordlist()
+        t0 = time.perf_counter()
+        dfa = DFAScrubber(words)
+        build_sec = time.perf_counter() - t0
+        texts = synthesize_transcripts(20_000, seed=5).column("text").to_pylist()
+        rng = random.Random(1)
+        texts = [
+            t + rng.choice(words) if rng.random() < 0.2 else t for t in texts
+        ]
+        nbytes = sum(len(t.encode("utf-8")) for t in texts)
+        t0 = time.perf_counter()
+        hits = 0
+        for t in texts:
+            s = dfa.filter(t)
+            hits += s != t
+        scan_sec = time.perf_counter() - t0
+        wl_bench = {
+            "n_words": len(words),
+            "trie_build_sec": round(build_sec, 3),
+            "scrub_turns_per_sec": round(len(texts) / scan_sec, 1),
+            "scrub_mb_per_sec": round(nbytes / scan_sec / 1e6, 1),
+            "hit_rate": round(hits / len(texts), 3),
+        }
+
     ray.shutdown()
     return {
         "metric": "end_to_end_filter_scrub_1M_turns",
@@ -103,6 +138,7 @@ def run_bench() -> dict:
         "bench_turns": BENCH_TURNS,
         "counters": stats,
         "queries": qtimes,
+        "wordlist43k": wl_bench,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

@@ -60,6 +60,15 @@ class PerplexityConfig:
 
 
 @dataclass(frozen=True)
+class ClusteringConfig:
+    """ref:config/config.py:40-44 + ref:utils/clustering.py:25 — the
+    duplicate-ratio clustering component (disabled by default upstream too)."""
+
+    similarity_threshold: float = 0.85  # ref:utils/clustering.py:25 (class default)
+    embed_dim: int = 64                 # our deterministic embedder's dim
+
+
+@dataclass(frozen=True)
 class LangIdConfig:
     """ref:tool.py:16-35 — threshold of is_chinese_fasttext."""
 
@@ -74,6 +83,7 @@ class PipelineConfig:
     enable_rule_filter: bool = True        # ref:config/config.py:48
     enable_feature_words: bool = True      # ref:config/config.py:49
     enable_perplexity: bool = False        # ref:config/config.py:50
+    enable_clustering: bool = False        # ref:config/config.py:51
     enable_langid: bool = True             # langid column stage (north-star requirement)
     enable_scrub: bool = True              # EP2 step 2 (ref:main.py:363-418)
     quality_threshold: float = 0.8         # ref:config/config.py:53
@@ -81,10 +91,12 @@ class PipelineConfig:
     weight_rule: float = 0.3
     weight_feature: float = 0.5
     weight_perplexity: float = 0.1
+    weight_clustering: float = 0.1         # ref:config/config.py:59
 
     rule: RuleConfig = field(default_factory=RuleConfig)
     feature: FeatureConfig = field(default_factory=FeatureConfig)
     perplexity: PerplexityConfig = field(default_factory=PerplexityConfig)
+    clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
     langid: LangIdConfig = field(default_factory=LangIdConfig)
 
     # --- execution knobs (ours; no reference analogue — it is single-process) ---

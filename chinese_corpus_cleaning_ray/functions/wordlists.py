@@ -31,6 +31,28 @@ def load_words(path: str | None = None) -> list[str]:
     return sorted(words)
 
 
+def synthesize_wordlist(n: int = 43_378, seed: int = 42,
+                        latin_fraction: float = 0.05) -> list[str]:
+    """Deterministic synthetic word list at the reference's production scale
+    (43,378 merged entries — ref:merge_all_sensitive_words.py:33-71 over 16
+    lists). Used to size/benchmark trie build and scrub cost without shipping
+    any real sensitive-word content: words are 2–6 char draws from a fixed
+    CJK code-point pool (plus a small latin tail), unioned + sorted exactly
+    like the production merge output."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [chr(cp) for cp in range(0x4E00, 0x4E00 + 2048)]
+    latin = "abcdefghijklmnopqrstuvwxyz"
+    words: set[str] = set()
+    while len(words) < n:
+        if rng.random() < latin_fraction:
+            words.add("".join(rng.choice(latin) for _ in range(rng.randint(4, 10))))
+        else:
+            words.add("".join(rng.choice(pool) for _ in range(rng.randint(2, 6))))
+    return sorted(words)
+
+
 def merge_wordlists(paths: list[str], out_path: str, sort: bool = True) -> int:
     """Union + dedupe (+ sort) of many lists into one —
     ref:merge_all_sensitive_words.py:33-71. Returns the entry count."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG, PipelineConfig
 from chinese_corpus_cleaning_ray.stages.quality_stages import (
+    ClusteringStage,
     FeatureScrubStage,
     PplStage,
     make_langid_rules_fn,
@@ -29,6 +30,7 @@ def build_quality_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     words=None,
     ppl_model_path: str | None = None,
+    cluster_ref=None,
 ):
     """Compose the quality stages onto ``ds`` (a ray.data.Dataset with a
     ``text`` column). Returns the lazy Dataset with appended columns:
@@ -60,6 +62,17 @@ def build_quality_pipeline(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=resolve_pool(cfg.ppl_actors, fraction=0.3),
+            num_cpus=1,
+        )
+    if cfg.enable_clustering:
+        # ``cluster_ref``: reference-corpus embeddings (ndarray or ray.put
+        # handle — broadcast once per node); None → packaged clean seed pool
+        ds = ds.map_batches(
+            ClusteringStage,
+            fn_constructor_kwargs={"cfg": cfg, "ref_embeddings": cluster_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=resolve_pool(None, fraction=0.25),
             num_cpus=1,
         )
     ds = ds.map_batches(make_score_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)

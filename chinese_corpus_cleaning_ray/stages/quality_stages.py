@@ -152,6 +152,61 @@ class PplStage:
         return batch
 
 
+class ClusteringStage:
+    """Actor-pool stage: duplicate-ratio clustering score — the 4th quality
+    component (ref:main.py:189-206, weight 0.1 per ref:config/config.py:59,
+    disabled by default there and here).
+
+    The reference linear-scans a Python list of corpus embeddings per text
+    (ref:utils/clustering.py:127-150) and maps the max cosine to a piecewise
+    score (ref:utils/clustering.py:187-207). Here the reference-corpus matrix
+    is normalized once per actor (pass a ``ray.put`` handle so it ships to
+    each node once) and every batch is a single (B,d)@(d,R) matmul. For
+    reference corpora too big to broadcast, bucket them with
+    ``stages.similarity.lsh_planes`` and ship per-bucket slabs instead."""
+
+    def __init__(self, cfg: PipelineConfig, ref_embeddings=None, embedder_factory=None):
+        from chinese_corpus_cleaning_ray.stages.embed import DeterministicFakeEmbedder
+
+        if embedder_factory is None:
+            embedder_factory = lambda: DeterministicFakeEmbedder(dim=cfg.clustering.embed_dim)  # noqa: E731
+        self.embedder = embedder_factory()
+        self.threshold = cfg.clustering.similarity_threshold
+        try:
+            import ray
+
+            if isinstance(ref_embeddings, ray.ObjectRef):
+                ref_embeddings = ray.get(ref_embeddings)
+        except ImportError:
+            pass
+        if ref_embeddings is None:
+            from chinese_corpus_cleaning_ray.sources.transcripts import CLEAN_SENTENCES
+
+            ref_embeddings = self.embedder.embed_batch(list(CLEAN_SENTENCES))
+        m = np.asarray(ref_embeddings, dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.ref = (m / norms).T  # (d, R), ready for matmul
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        v = self.embedder.embed_batch(texts).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        r = ((v / norms) @ self.ref).max(axis=1) if self.ref.shape[1] else np.zeros(len(texts))
+        th = self.threshold
+        # piecewise map, vectorized restatement of ref:clustering.py:195-207
+        score = np.where(
+            r >= th,
+            np.maximum(0.0, 0.2 * (1 - (r - th) / (1 - th))),
+            np.minimum(1.0, 0.8 + 0.2 * (1 - r / th)),
+        )
+        batch = batch.append_column("cluster_dup_ratio", pa.array(r, pa.float64()))
+        batch = batch.append_column("cluster_pass", pa.array(r < th, pa.bool_()))
+        batch = batch.append_column("cluster_score", pa.array(score, pa.float64()))
+        return batch
+
+
 def make_score_fn(cfg: PipelineConfig):
     """Composite quality score + keep decision, vectorized.
 
@@ -173,6 +228,9 @@ def make_score_fn(cfg: PipelineConfig):
         if cfg.enable_perplexity and "ppl_score" in batch.column_names:
             num += cfg.weight_perplexity * np.asarray(batch.column("ppl_score"))
             den += cfg.weight_perplexity
+        if cfg.enable_clustering and "cluster_score" in batch.column_names:
+            num += cfg.weight_clustering * np.asarray(batch.column("cluster_score"))
+            den += cfg.weight_clustering
         q = num / den if den > 0 else np.zeros(n)
         if cfg.enable_rule_filter:
             err = np.asarray(batch.column("rule_error"))

@@ -202,6 +202,31 @@ def make_piece_writer(data_dir: str, keep_text: bool):
     return write_pieces
 
 
+class FusedQualityWriteStage:
+    """Actor-pool stage fusing scrub → composite score → piece write.
+
+    Rationale (round-2 scaling work): with the scrub pool at fraction 0.6 the
+    heavy regex/DFA work owned only ~18 of 32 CPUs while the score+write task
+    operators idled CPUs between waves (map-stage utilization ~63%). Folding
+    score+write into the SAME actor op lets the pool own nearly the whole
+    node; the upstream stateless langid+rules task stage is fused into the
+    actor operator by Ray Data's planner, so the entire per-row pipeline runs
+    inside one operator with zero hand-offs."""
+
+    def __init__(self, cfg: PipelineConfig, words, data_dir: str, keep_text: bool):
+        from chinese_corpus_cleaning_ray.stages.quality_stages import (
+            FeatureScrubStage,
+            make_score_fn,
+        )
+
+        self.scrub = FeatureScrubStage(cfg, words)
+        self.score = make_score_fn(cfg)
+        self.write = make_piece_writer(data_dir, keep_text)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.write(self.score(self.scrub(batch)))
+
+
 def _list_input_files(input_path: str) -> list[str]:
     if os.path.isfile(input_path):
         return [input_path]
@@ -261,15 +286,44 @@ def run_quality_job(
         # per-file resume stays correct — pieces are named by stem either way.
         from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
 
+        blocks_per_cpu = int(os.environ.get("CCC_BLOCKS_PER_CPU", "4"))
         ds = rd.read_parquet(
             chunk,
             include_paths=True,
-            override_num_blocks=max(len(chunk), cluster_cpus() * 4, 1),
+            override_num_blocks=max(len(chunk), cluster_cpus() * blocks_per_cpu, 1),
         )
         ds = ds.map_batches(make_add_partition_fn(cfg.num_partitions), batch_format="pyarrow")
-        ds = build_quality_pipeline(ds, cfg, words=words)
-        writer = make_piece_writer(manifest.data_dir, cfg.keep_original_text)
-        counters = ds.map_batches(writer, batch_format="pyarrow", batch_size=None).to_pandas()
+        fused = (not cfg.enable_perplexity and not cfg.enable_clustering
+                 and os.environ.get("CCC_FUSED", "1") != "0")
+        if fused:
+            # one actor op owns scrub+score+write (langid+rules fuse in
+            # upstream); size it to nearly the whole node — only the parquet
+            # read tasks live outside it
+            from chinese_corpus_cleaning_ray.stages.quality_stages import make_langid_rules_fn
+            from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+            if cfg.enable_langid or cfg.enable_rule_filter:
+                ds = ds.map_batches(make_langid_rules_fn(cfg), batch_format="pyarrow",
+                                    batch_size=cfg.batch_size)
+            counters = ds.map_batches(
+                FusedQualityWriteStage,
+                fn_constructor_kwargs=dict(cfg=cfg, words=words,
+                                           data_dir=manifest.data_dir,
+                                           keep_text=cfg.keep_original_text),
+                batch_format="pyarrow",
+                batch_size=None,
+                # 0.7 measured best: leaves CPUs for the read tasks feeding the
+                # pool and keeps the block/actor wave tail fine-grained
+                # (1.0 → 12.5s, 0.8 → 10.8s, 0.7 → 9.6s, 0.6 → 10.4s at 1M/32c)
+                concurrency=resolve_pool(
+                    cfg.scrub_actors,
+                    fraction=float(os.environ.get("CCC_POOL_FRACTION", "0.7"))),
+                num_cpus=1,
+            ).to_pandas()
+        else:
+            ds = build_quality_pipeline(ds, cfg, words=words)
+            writer = make_piece_writer(manifest.data_dir, cfg.keep_original_text)
+            counters = ds.map_batches(writer, batch_format="pyarrow", batch_size=None).to_pandas()
 
         stems_with_rows = set()
         for stem, g in counters.groupby("stem"):

@@ -237,3 +237,27 @@ def test_sessionize_shard_kernel_matches_naive(ray_session):
                                       "start_ts", "end_ts"])
     ref = ref.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
     assert out.astype("int64").equals(ref.astype("int64"))
+
+
+def test_production_scale_wordlist_trie():
+    """43,378-entry synthetic list at the reference's production scale
+    (ref:merge_all_sensitive_words.py output size): trie builds fast, scrub
+    stays byte-exact, detect finds planted words."""
+    import time
+
+    from chinese_corpus_cleaning_ray.functions.scrub import DFAScrubber
+    from chinese_corpus_cleaning_ray.functions.wordlists import synthesize_wordlist
+
+    words = synthesize_wordlist()
+    assert len(words) == 43_378 and len(set(words)) == 43_378
+    t0 = time.perf_counter()
+    dfa = DFAScrubber(words)
+    assert time.perf_counter() - t0 < 5.0, "trie build too slow for per-actor init"
+
+    w1, w2 = words[100], words[40_000]
+    text = f"前缀{w1}中缀{w2}后缀，干净句子不受影响。"
+    scrubbed = dfa.filter(text)
+    assert scrubbed == text.replace(w1, "*" * len(w1)).replace(w2, "*" * len(w2))
+    assert set(dfa.detect(text)) == {w1, w2}
+    clean = "这是一段完全不包含敏感词的普通文本。"
+    assert dfa.filter(clean) == clean
