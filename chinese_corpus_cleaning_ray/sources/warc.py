@@ -97,6 +97,82 @@ def parse_warc_bytes(data: bytes, path: str = "", record_types: tuple = ("respon
     return rows
 
 
+def build_warc_record(target_uri: str, payload: bytes, record_id: str = "") -> bytes:
+    """Serialize one WARC/1.0 response record (SURVEY §2.1 S8 — the
+    reference's writer is warcio's WARCWriter,
+    ref:Crawl_Page/subsample_warc_warc.py:81-89). The payload is framed as a
+    minimal HTTP/1.1 response entity so ``read_warc`` round-trips it."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: "
+        + str(len(payload)).encode() + b"\r\n\r\n" + payload
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + (record_id or "<urn:uuid:none>").encode(),
+        b"WARC-Target-URI: " + target_uri.encode("utf-8", errors="ignore"),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+def write_warc_records(rows: list[dict], out_path: str, gzip_output: bool = True) -> int:
+    """Write rows (record_id, target_uri, payload) as one WARC file
+    (tmp-then-rename). Returns the record count."""
+    import os
+
+    data = b"".join(
+        build_warc_record(r.get("target_uri", ""), r.get("payload", b""),
+                          r.get("record_id", "")) for r in rows
+    )
+    if gzip_output:
+        data = gzip.compress(data)
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, out_path)
+    return len(rows)
+
+
+def subsample_warc(paths, out_dir: str, keep_fn, gzip_output: bool = True):
+    """The reference's two-pass Chinese-page subsampler
+    (ref:subsample_warc_warc.py:16-90: offset-collect scan, then re-scan +
+    rewrite) as ONE streaming Ray pass: read records → keep_fn(texts)->mask →
+    write each input shard's surviving records to ``out_dir/<stem>-sub.warc[.gz]``
+    inside the map task (task-local write, no shuffle; one output file per
+    input shard keeps the job resumable at shard granularity).
+
+    ``keep_fn``: list[payload bytes] -> list[bool]. Returns a Dataset of
+    per-shard counter rows (warc_path, records_in, records_kept)."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = _read_binary(paths)
+
+    def process(row: dict) -> list[dict]:
+        rows = parse_warc_bytes(row["bytes"], row["path"])
+        mask = keep_fn([r["payload"] for r in rows]) if rows else []
+        kept = [r for r, m in zip(rows, mask) if m]
+        stem = os.path.basename(row["path"]).split(".")[0]
+        suffix = ".warc.gz" if gzip_output else ".warc"
+        if kept:
+            write_warc_records(kept, os.path.join(out_dir, f"{stem}-sub{suffix}"),
+                               gzip_output)
+        return [{"warc_path": row["path"], "records_in": len(rows),
+                 "records_kept": len(kept)}]
+
+    return files.flat_map(process)
+
+
+def _read_binary(paths):
+    import ray.data as rd
+
+    return rd.read_binary_files(paths, include_paths=True)
+
+
 def read_warc(paths, record_types: tuple = ("response",)):
     """Ray Data plan: one row per WARC record of the wanted types. Each file is
     parsed inside the reading task (flat_map over binary files) — streaming,

@@ -43,21 +43,40 @@ class DeterministicFakeEmbedder:
         return out
 
 
-class HFEmbedder:  # pragma: no cover - env-gated
-    """ref:embed.py:22-45 — CLS vectors from a HF encoder; absent offline."""
+class HFEmbedder:  # pragma: no cover - env-gated (torch absent in this sandbox)
+    """ref:embed.py:9-45 — CLS vectors from a HF encoder. Fully wired: when
+    torch+transformers are installed this is the production path; the
+    ImportError fallback is DeterministicFakeEmbedder (same .embed_batch
+    contract, so every Ray stage is identical either way)."""
 
     def __init__(self, model_name: str = "shibing624/text2vec-base-chinese",
-                 max_length: int = 128):
+                 max_length: int = 128, device: str | None = None):
         try:
-            import torch  # noqa: F401
-            from transformers import AutoModel, AutoTokenizer  # noqa: F401
+            import torch
+            from transformers import AutoModel, AutoTokenizer
         except ImportError as e:
             raise NotImplementedError(
                 "HF embedding requires torch+transformers (absent here); "
                 "inject DeterministicFakeEmbedder or any object with "
                 ".embed_batch(list[str]) -> np.ndarray"
             ) from e
-        raise NotImplementedError("wire AutoModel CLS pooling when available")
+        self._torch = torch
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name).to(self.device).eval()
+        self.max_length = max_length
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.model.config.hidden_size), dtype=np.float32)
+        enc = self.tokenizer(
+            texts, padding=True, truncation=True,
+            max_length=self.max_length, return_tensors="pt",
+        ).to(self.device)
+        with self._torch.no_grad():
+            out = self.model(**enc)
+        cls = out.last_hidden_state[:, 0, :]  # CLS pooling — ref:embed.py:38-41
+        return cls.cpu().numpy().astype(np.float32)
 
 
 class EmbedStage:

@@ -35,19 +35,42 @@ class DeterministicFakeDecoder:
         }
 
 
-class RealImageDecoder:
-    """Real decode path — requires an image library not present here."""
+class RealImageDecoder:  # pragma: no cover - env-gated (PIL absent here)
+    """Real decode path, fully wired for when pillow is installed: grayscale
+    decode → width/height/mean — same output contract as the fake, so the
+    Ray plumbing (schema, batch size, actor signature) is identical. A
+    corrupt payload degrades to ok=False rather than failing the block."""
 
-    def decode(self, payload: bytes) -> dict:  # pragma: no cover - env-gated
+    def __init__(self):
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
                 "image decoding requires PIL/pillow, which is not available in "
                 "this environment; inject DeterministicFakeDecoder or provide "
                 "a decoder with a .decode(bytes)->dict method"
             ) from e
-        raise NotImplementedError("real decode to be wired when PIL is present")
+        self._Image = Image
+
+    def decode(self, payload: bytes) -> dict:
+        import io
+
+        import numpy as np
+
+        if not payload:
+            return {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
+        try:
+            with self._Image.open(io.BytesIO(payload)) as im:
+                gray = im.convert("L")
+                arr = np.asarray(gray, dtype=np.float64)
+                return {
+                    "width": int(im.width),
+                    "height": int(im.height),
+                    "mean_value": float(arr.mean() / 255.0),
+                    "ok": True,
+                }
+        except Exception:
+            return {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
 
 
 class ImageFeatureStage:

@@ -261,3 +261,39 @@ def test_production_scale_wordlist_trie():
     assert set(dfa.detect(text)) == {w1, w2}
     clean = "这是一段完全不包含敏感词的普通文本。"
     assert dfa.filter(clean) == clean
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    """Quantified recall of the approximate path vs exact brute force at
+    fixed (nbits, expand) — guards against a silent recall cliff (the
+    rows-only driver check can't see one)."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(3)
+    n, d = 3_000, 32
+    centers = rng.standard_normal((20, d)) * 2
+    vecs = centers[rng.randint(0, 20, n)] + rng.standard_normal((n, d)) * 0.3
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    q = vecs[:5]
+    brute = knn_brute(rd.from_arrow(tbl), q, k=10).to_pandas()
+
+    def recall(nbits, expand):
+        approx = knn_ivf(rd.from_arrow(tbl), q, k=10, nbits=nbits,
+                         expand=expand).to_pandas()
+        per_q = []
+        for qi in range(len(q)):
+            want = set(brute[brute.query_id == qi].vec_id)
+            got = set(approx[approx.query_id == qi].vec_id)
+            per_q.append(len(want & got) / len(want))
+        return float(np.mean(per_q))
+
+    # driver-default params (nbits=4, expand=1) must be near-exact here
+    assert recall(4, 1) >= 0.95
+    assert recall(6, 1) >= 0.90
+    # coarser prefilter trades recall for candidate-set size, never collapses
+    assert recall(8, 2) >= 0.60

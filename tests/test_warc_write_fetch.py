@@ -1,0 +1,113 @@
+"""S8 WARC writer (round-trip through our own reader, single-pass subsample
+pipeline) and S10 Range-resume downloader (injectable transport)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+
+def test_warc_writer_roundtrip(tmp_path):
+    from chinese_corpus_cleaning_ray.sources.warc import (
+        parse_warc_bytes,
+        write_warc_records,
+    )
+
+    rows = [
+        {"record_id": f"<urn:uuid:{i}>", "target_uri": f"http://s{i}.example/",
+         "payload": f"<html>正文 {i}</html>".encode()}
+        for i in range(4)
+    ]
+    out = str(tmp_path / "out.warc.gz")
+    assert write_warc_records(rows, out) == 4
+    back = parse_warc_bytes(open(out, "rb").read(), out)
+    assert [r["target_uri"] for r in back] == [r["target_uri"] for r in rows]
+    assert [r["payload"] for r in back] == [r["payload"] for r in rows]
+
+    # uncompressed variant too
+    out2 = str(tmp_path / "out.warc")
+    write_warc_records(rows[:2], out2, gzip_output=False)
+    assert len(parse_warc_bytes(open(out2, "rb").read(), out2)) == 2
+
+
+def test_subsample_warc_single_pass(ray_session, tmp_path):
+    """ref:subsample_warc_warc.py two-pass offset scheme as one streaming
+    pass: keep Chinese pages, write one output shard per input shard."""
+    from chinese_corpus_cleaning_ray.sources.warc import (
+        build_warc_record,
+        parse_warc_bytes,
+        subsample_warc,
+    )
+
+    recs = []
+    for i in range(6):
+        body = ("<html>中文网页内容，质量很高，这是第%d篇。</html>" % i
+                if i % 2 == 0 else "<html>english only page %d</html>" % i)
+        recs.append(build_warc_record(f"http://p{i}.example/", body.encode(), f"<urn:{i}>"))
+    src = tmp_path / "shard0.warc.gz"
+    src.write_bytes(gzip.compress(b"".join(recs)))
+
+    def keep_zh(payloads):
+        return [sum(1 for ch in p.decode("utf-8", "ignore") if "一" <= ch <= "鿿") > 3
+                for p in payloads]
+
+    out_dir = str(tmp_path / "sub")
+    counters = subsample_warc(str(src), out_dir, keep_zh).to_pandas()
+    assert counters["records_in"].sum() == 6
+    assert counters["records_kept"].sum() == 3
+    written = os.listdir(out_dir)
+    assert written == ["shard0-sub.warc.gz"]
+    back = parse_warc_bytes(open(os.path.join(out_dir, written[0]), "rb").read(), "x")
+    assert [r["target_uri"] for r in back] == [f"http://p{i}.example/" for i in (0, 2, 4)]
+
+
+class _FakeTransport:
+    """Serves a fixed blob, honoring Range semantics; counts bytes shipped."""
+
+    def __init__(self, blob: bytes, fail_after: int | None = None):
+        self.blob = blob
+        self.fail_after = fail_after
+        self.bytes_shipped = 0
+
+    def __call__(self, url: str, start: int):
+        def chunks():
+            sent = 0
+            for off in range(start, len(self.blob), 10):
+                chunk = self.blob[off : off + 10]
+                if self.fail_after is not None and sent + len(chunk) > self.fail_after:
+                    part = self.fail_after - sent
+                    if part > 0:
+                        self.bytes_shipped += part
+                        yield chunk[:part]
+                    raise ConnectionError("simulated drop")
+                sent += len(chunk)
+                self.bytes_shipped += len(chunk)
+                yield chunk
+
+        return len(self.blob), chunks()
+
+
+def test_download_resumable_resumes_from_partial(tmp_path):
+    from chinese_corpus_cleaning_ray.sources.crawl_fetch import download_resumable
+
+    blob = bytes(np.random.RandomState(0).randint(0, 256, 333, dtype=np.uint8))
+    path = str(tmp_path / "archive.warc.gz")
+
+    # first attempt drops mid-stream
+    t1 = _FakeTransport(blob, fail_after=100)
+    with pytest.raises(ConnectionError):
+        download_resumable("http://x/archive.warc.gz", path, t1)
+    assert os.path.getsize(path) == 100
+
+    # second attempt resumes from byte 100, ships ONLY the remainder
+    t2 = _FakeTransport(blob)
+    res = download_resumable("http://x/archive.warc.gz", path, t2)
+    assert res["resumed_from"] == 100 and res["complete"]
+    assert t2.bytes_shipped == len(blob) - 100
+    assert open(path, "rb").read() == blob
+
+    # complete file is a no-op
+    t3 = _FakeTransport(blob)
+    res2 = download_resumable("http://x/archive.warc.gz", path, t3)
+    assert res2["complete"] and t3.bytes_shipped == 0
