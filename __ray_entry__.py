@@ -497,6 +497,32 @@ def _q_events_sessionize(sf_dir: str):
     return out
 
 
+def _q_doc_jaccard_dedup(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    deduped, _ = ngram_jaccard_dedup(ds, id_col="doc_id", k=5, threshold=0.8)
+    return (
+        deduped.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+def _q_doc_quality_clustered(sf_dir: str):
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    cfg = replace(DEFAULT_CONFIG, enable_clustering=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = build_quality_pipeline(ds, cfg).select_columns(
+        ["doc_id", "cluster_dup_ratio", "cluster_pass", "cluster_score",
+         "quality_score", "keep"]
+    )
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_doc_simhash_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
 
@@ -534,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_jaccard_dedup": _q_doc_jaccard_dedup,
+        "doc_quality_clustered": _q_doc_quality_clustered,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_cosine_dedup": _q_emb_cosine_dedup,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -657,6 +685,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # exact n-gram Jaccard dedup IS SQL-expressible (unlike MinHash/
+        # SimHash whose permutations/fingerprints aren't): distinct 5-char
+        # shingles per doc → self-join → inter/union ratio; a doc is dropped
+        # iff ANY smaller doc_id reaches Jaccard ≥ 0.8
+        "doc_jaccard_dedup": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pair AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY ia, ib
+            ),
+            dups AS (
+                SELECT DISTINCT ib AS doc_id
+                FROM pair
+                JOIN cnt ca ON ca.doc_id = pair.ia
+                JOIN cnt cb ON cb.doc_id = pair.ib
+                WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+            ORDER BY doc_id
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}

@@ -187,21 +187,13 @@ def minhash_dedup(
 
     if strategy == "join":
         # distributed anti-join: distinct dup ids + flag → left join → keep
-        # null flags. Distinct is shard-grouped (same coarse-key discipline:
-        # groupby on raw ids would pay per-group Python per distinct id).
-        def add_id_shard(g: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(g[id_col], index=False).to_numpy()
-            return g.assign(__shard=(h & 255).astype(np.int32))
+        # null flags. Distinct-with-flag is one vectorized Count aggregate
+        # (never per-distinct-id Python, and — unlike a map_groups distinct —
+        # it normalizes the empty schema-less blocks the band shuffle emits,
+        # which would otherwise break the join's key resolution).
+        from ray.data.aggregate import Count
 
-        marker = (
-            dup_ids_ds.map_batches(add_id_shard, batch_format="pandas")
-            .groupby("__shard")
-            .map_groups(
-                lambda g: g.drop_duplicates(subset=[id_col])
-                          .drop(columns=["__shard"]).assign(__dup=np.int8(1)),
-                batch_format="pandas",
-            )
-        )
+        marker = dup_ids_ds.groupby(id_col).aggregate(Count(alias_name="__dup"))
         joined = ds.join(
             marker,
             join_type="left_outer",
@@ -252,6 +244,103 @@ def simhash_mark(ds, text_col: str = "text", k: int = 3):
 def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> list[float]:
     """Exact shingle-Jaccard for candidate verification (row-local kernel)."""
     return [jaccard(char_shingles(a, k), char_shingles(b, k)) for a, b in zip(texts_a, texts_b)]
+
+
+def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8, shards: int = 256):
+    """EXACT n-gram Jaccard dedup: a row is a duplicate iff ANY smaller-id row
+    shares Jaccard ≥ threshold over distinct character k-grams. Unlike
+    MinHash/SimHash this is oracle-checkable (the same semantics are plain
+    SQL: shingle table → self-join → inter/union ratio).
+
+    Plan (no O(n²) anywhere):
+    1. map_batches: one row per DISTINCT (shingle, doc) with the doc's
+       shingle count attached (so pair rows are self-contained — no
+       corpus-wide doc→count broadcast at scale).
+    2. groupby coarse shard of the shingle string; inside, a vectorized
+       pandas self-merge per shingle emits partial pair-intersection counts.
+       Common shingles fan out pairs — at production scale cap document
+       frequency (drop shingles with df > cap) like every inverted-index
+       dedup does; the cap is a parameter left None here for oracle parity.
+    3. groupby coarse shard of the (ia, ib) pair; sum partial intersections,
+       keep pairs with inter/(na+nb-inter) ≥ threshold, collect the distinct
+       larger ids (≪ corpus) and anti-filter via broadcast."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_sh, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            grams = {t[j : j + k] for j in range(len(t) - k + 1)}
+            out_id.extend([i] * len(grams))
+            out_sh.extend(grams)
+            out_n.extend([len(grams)] * len(grams))
+        return pa.table(
+            {
+                "doc": pa.array(out_id, batch.schema.field(id_col).type),
+                "g": pa.array(out_sh, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def add_g_shard(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        h = pc.cast(pa.array(
+            pd.util.hash_array(np.asarray(batch.column("g").to_pylist(), dtype=object))
+            .astype(np.int64) & (shards - 1)), pa.int32())
+        return batch.append_column("shard", h)
+
+    def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.merge(group, on="g", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        agg = (
+            m.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)
+            .size().reset_index(name="inter")
+        )
+        return agg.rename(columns={"doc_a": "ia", "doc_b": "ib",
+                                   "n_a": "na", "n_b": "nb"})
+
+    def add_pair_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # id-dtype agnostic (works for int doc_ids and string row keys)
+        h = (pd.util.hash_pandas_object(df["ia"], index=False).to_numpy()
+             ^ (pd.util.hash_pandas_object(df["ib"], index=False).to_numpy()
+                * np.uint64(31)))
+        return df.assign(pshard=(h & np.uint64(shards - 1)).astype(np.int32))
+
+    def dup_ids_of(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["ia", "ib", "na", "nb"], sort=False)["inter"].sum().reset_index()
+        jac = agg["inter"] / (agg["na"] + agg["nb"] - agg["inter"])
+        hits = agg.loc[jac >= threshold, "ib"]
+        return pd.DataFrame({id_col: pd.unique(hits.to_numpy())})
+
+    pair_rows = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .map_batches(add_g_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pair_partials, batch_format="pandas")
+    )
+    dup_df = (
+        pair_rows.map_batches(add_pair_shard, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(dup_ids_of, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
+    if not dup_ids:
+        return ds, []
+    import ray
+
+    dup_ref = ray.put(frozenset(dup_ids))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dups = _ray.get(dup_ref)
+        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids
 
 
 def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,

@@ -297,3 +297,31 @@ def test_knn_ivf_recall_vs_brute(ray_session):
     assert recall(6, 1) >= 0.90
     # coarser prefilter trades recall for candidate-set size, never collapses
     assert recall(8, 2) >= 0.60
+
+
+def test_ngram_jaccard_dedup_planted(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_dedup
+
+    base = "今天天气很好我们一起去公园散步然后讨论了分布式系统的设计问题"
+    texts = [
+        base,                       # 0: keeper
+        base,                       # 1: exact dup of 0
+        base + "。",                # 2: near dup of 0 (high shingle overlap)
+        "完全不同的另一段文字内容说的是机器学习模型的训练和评估流程",   # 3
+        "第三段独立文本讲的是数据库索引结构与查询优化器的工作原理",     # 4
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    deduped, dup_ids = ngram_jaccard_dedup(rd.from_arrow(tbl), id_col="doc_id",
+                                           threshold=0.8)
+    kept = sorted(deduped.to_pandas()["doc_id"])
+    assert kept == [0, 2, 3, 4] or kept == [0, 3, 4]  # 2 depends on overlap ratio
+    assert 1 in dup_ids
+
+    # exact-jaccard check for the near pair decides whether 2 is a dup
+    a = {base[i:i+5] for i in range(len(base) - 4)}
+    b = {(base + "。")[i:i+5] for i in range(len(base + "。") - 4)}
+    jac = len(a & b) / len(a | b)
+    assert (2 in dup_ids) == (jac >= 0.8)
