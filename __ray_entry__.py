@@ -523,6 +523,22 @@ def _q_doc_quality_clustered(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_events_topk_per_type(sf_dir: str):
+    from chinese_corpus_cleaning_ray.pipelines.conversations import topk_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = topk_per_group(ds, group_col="event_type", key_col="user_id", k=3).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["event_type", "rank"], kind="mergesort").reset_index(drop=True)
+
+
+def _q_events_sliding_window(sf_dir: str):
+    from chinese_corpus_cleaning_ray.pipelines.conversations import sliding_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    return sliding_window_counts(ds, window_hours=3)
+
+
 def _q_doc_simhash_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
 
@@ -552,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
         "event_type_counts": _q_event_type_counts,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "events_sliding_window": _q_events_sliding_window,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
         "doc_token_stats": _q_doc_token_stats,
@@ -618,6 +636,29 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, COUNT(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_topk_per_type": """
+            WITH c AS (
+                SELECT event_type, user_id, COUNT(*) AS n
+                FROM events GROUP BY event_type, user_id),
+            r AS (
+                SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS BIGINT) AS rank
+                FROM c)
+            SELECT event_type, user_id, n, rank FROM r
+            WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+        "events_sliding_window": """
+            WITH h AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY hour_bucket)
+            SELECT hour_bucket, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(SUM(n_events) OVER (ORDER BY hour_bucket
+                        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS window_events
+            FROM h ORDER BY hour_bucket
         """,
         "doc_rule_metrics": f"""
             SELECT doc_id, {_RULE_METRIC_SQL_COLS}

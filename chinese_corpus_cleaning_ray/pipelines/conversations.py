@@ -60,6 +60,80 @@ def conversation_stats(ds):
     return grouped
 
 
+def topk_per_group(ds, group_col: str, key_col: str, k: int = 3):
+    """Top-k keys by count within each group (e.g. top users per event_type).
+
+    Plan: partial (group, key) counts inside each batch → one small groupby
+    aggregate over the pre-aggregated pairs → per-group top-k. The final
+    map_groups runs one group per ``group_col`` value — safe ONLY because the
+    group column is low-cardinality by contract (event types, languages,
+    labels); for high-cardinality groups use the shard discipline instead.
+    Output: (group_col, key_col, n, rank) with rank 1..k, count-desc,
+    key-asc tie-break."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch.column(group_col).to_pylist(),
+            "u": batch.column(key_col).to_pylist(),
+        })
+        agg = df.groupby(["g", "u"], sort=False).size().reset_index(name="n")
+        return pa.table({group_col: pa.array(agg["g"]),
+                         key_col: pa.array(agg["u"]),
+                         "n": pa.array(agg["n"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, key_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def top(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", key_col], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        g["n"] = g["n"].astype("int64")
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return counts.groupby(group_col).map_groups(top, batch_format="pandas")
+
+
+def sliding_window_counts(ds, window_hours: int = 3):
+    """Gap-aware sliding-window event counts: for every present hour bucket,
+    the event count summed over [hour - window + 1, hour] (RANGE semantics —
+    missing hours contribute zero, matching SQL ``RANGE BETWEEN N PRECEDING``).
+
+    Plan: hourly counts via pre-aggregated groupby (≤ hours-in-corpus rows),
+    then the window sum is computed on the tiny aggregate with a vectorized
+    prefix-sum + searchsorted — post-aggregation compute on a result this
+    small belongs on the driver, not in another shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({"hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64())})
+
+    hourly = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values("hour_bucket", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    hours = hourly["hour_bucket"].to_numpy(np.int64)
+    n = hourly["n_events"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(n)])
+    lo = np.searchsorted(hours, hours - (window_hours - 1), side="left")
+    hi = np.arange(1, len(hours) + 1)
+    return pd.DataFrame({
+        "hour_bucket": hours,
+        "n_events": n,
+        "window_events": (csum[hi] - csum[lo]).astype(np.int64),
+    })
+
+
 def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     """Per-user sessions: consecutive events ≤ gap apart share a session.
     Output: one row per session (user_id, session_idx, n_events, start_ts,

@@ -325,3 +325,34 @@ def test_ngram_jaccard_dedup_planted(ray_session):
     b = {(base + "。")[i:i+5] for i in range(len(base + "。") - 4)}
     jac = len(a & b) / len(a | b)
     assert (2 in dup_ids) == (jac >= 0.8)
+
+
+def test_topk_per_group_and_sliding_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        sliding_window_counts,
+        topk_per_group,
+    )
+
+    # topk: group a → user 1 dominates; tie between 2 and 3 broken by key asc
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+        "user_id": pa.array([1, 1, 1, 2, 3, 9, 9, 8], pa.int64()),
+    })
+    out = (
+        topk_per_group(rd.from_arrow(tbl), "event_type", "user_id", k=2)
+        .to_pandas().sort_values(["event_type", "rank"]).reset_index(drop=True)
+    )
+    assert out[out.event_type == "a"]["user_id"].tolist() == [1, 2]
+    assert out[out.event_type == "b"]["user_id"].tolist() == [9, 8]
+    assert out[out.event_type == "a"]["n"].tolist() == [3, 1]
+
+    # sliding window with an hour GAP: RANGE semantics, not ROWS
+    hours = [0, 0, 1, 5, 5, 6]  # hour 5 must NOT see hours 0/1
+    ts = pa.array([h * 3_600_000_000 for h in hours], pa.timestamp("us"))
+    ev = pa.table({"ts": ts})
+    win = sliding_window_counts(rd.from_arrow(ev), window_hours=3)
+    got = dict(zip(win["hour_bucket"], win["window_events"]))
+    assert got == {0: 2, 1: 3, 5: 2, 6: 3}
