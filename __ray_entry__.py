@@ -501,7 +501,7 @@ def _q_doc_jaccard_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    deduped, _ = ngram_jaccard_dedup(ds, id_col="doc_id", k=5, threshold=0.8)
+    deduped, _ = ngram_jaccard_dedup(ds, id_col="doc_id", k=5, threshold=0.35)
     return (
         deduped.select_columns(["doc_id"]).to_pandas()
         .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
@@ -730,7 +730,10 @@ def oracle_sql() -> dict[str, str]:
         # exact n-gram Jaccard dedup IS SQL-expressible (unlike MinHash/
         # SimHash whose permutations/fingerprints aren't): distinct 5-char
         # shingles per doc → self-join → inter/union ratio; a doc is dropped
-        # iff ANY smaller doc_id reaches Jaccard ≥ 0.8
+        # iff ANY smaller doc_id reaches Jaccard ≥ 0.35 (the synthetic corpus
+        # tops out at 0.57 — 0.35 catches its real template near-dups). df ≤ 128 cap on
+        # the intersection mirrors ngram_jaccard_dedup(max_df=128) verbatim
+        # (ubiquitous shingles are excluded from inter, not from the counts).
         "doc_jaccard_dedup": """
             WITH sh AS (
                 SELECT DISTINCT doc_id, g FROM (
@@ -740,9 +743,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
             ),
             cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 128),
             pair AS (
                 SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE a.g IN (SELECT g FROM rare)
                 GROUP BY ia, ib
             ),
             dups AS (
@@ -750,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pair
                 JOIN cnt ca ON ca.doc_id = pair.ia
                 JOIN cnt cb ON cb.doc_id = pair.ib
-                WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+                WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.35
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dups)

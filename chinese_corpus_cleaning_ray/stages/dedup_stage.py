@@ -89,11 +89,18 @@ def exact_dedup(ds, id_col: str, text_col: str = "text", shards: int = 256):
     )
 
 
-class MinHashStage:
-    """Actor-pool stage: per-row MinHash signature + LSH band bucket rows.
+_MINHASH_CACHE: dict = {}
 
-    Emits one row per (input row × band): (id, band_id, band_hash). The hasher
-    (permutation coefficients) is built once per actor."""
+
+class MinHashStage:
+    """Per-row MinHash signature + LSH band bucket rows.
+
+    Emits one row per (input row × band): (id, band_id, band_hash). Usable as
+    an actor-pool class OR (preferred) via ``make_minhash_bands_fn`` as a
+    plain task stage: the hasher state is just two small coefficient arrays
+    (microseconds to build, cached per worker process), so an actor pool buys
+    nothing here and its spin-up costs ~1.5 s per query — reserve pools for
+    genuinely expensive state (43k-word tries, LMs)."""
 
     def __init__(self, id_col: str, text_col: str = "text", num_perm: int = 64,
                  num_bands: int = 16, shingle_k: int = 5, seed: int = 42):
@@ -125,6 +132,22 @@ class MinHashStage:
         )
 
 
+def make_minhash_bands_fn(id_col: str, text_col: str = "text", num_perm: int = 64,
+                          num_bands: int = 16, shingle_k: int = 5, seed: int = 42):
+    """Task-stage variant of MinHashStage with a per-worker-process cache."""
+    key = (id_col, text_col, num_perm, num_bands, shingle_k, seed)
+
+    def bands_fn(batch: pa.Table) -> pa.Table:
+        stage = _MINHASH_CACHE.get(key)
+        if stage is None:
+            stage = MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                                 num_bands=num_bands, shingle_k=shingle_k, seed=seed)
+            _MINHASH_CACHE[key] = stage
+        return stage(batch)
+
+    return bands_fn
+
+
 def minhash_dedup(
     ds,
     id_col: str,
@@ -145,17 +168,12 @@ def minhash_dedup(
     ``ray.put`` when ≤ ``broadcast_limit``, else falls back to the distributed
     hash anti-join — nobody has to know about the knob for the 100-TB path to
     stay safe. ``"broadcast"`` / ``"join"`` force a side."""
-    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus, resolve_pool
+    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
 
     bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, num_perm=num_perm,
-            num_bands=num_bands, shingle_k=shingle_k, seed=seed,
-        ),
+        make_minhash_bands_fn(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                              num_bands=num_bands, shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency, fraction=0.4),
-        num_cpus=1,
     )
 
     # Coarse-shard the bucket space (see exact_dedup): group per shard, then a
@@ -247,21 +265,28 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> l
 
 
 def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.8, shards: int = 256):
+                        threshold: float = 0.8, shards: int = 256,
+                        max_df: int | None = 128):
     """EXACT n-gram Jaccard dedup: a row is a duplicate iff ANY smaller-id row
     shares Jaccard ≥ threshold over distinct character k-grams. Unlike
     MinHash/SimHash this is oracle-checkable (the same semantics are plain
     SQL: shingle table → self-join → inter/union ratio).
 
+    ``max_df`` (document-frequency cap) drops shingles shared by more than
+    that many documents from the INTERSECTION (denominator counts stay full):
+    ubiquitous shingles generate O(df²) candidate pairs — template-heavy
+    corpora go quadratic without the cap — while true near-dup pairs share
+    plenty of rare shingles, so the score only shrinks, never inflates
+    (conservative). The cap is mirrored verbatim in the SQL oracle, so
+    parity is by construction, not luck. ``max_df=None`` disables it.
+
     Plan (no O(n²) anywhere):
     1. map_batches: one row per DISTINCT (shingle, doc) with the doc's
        shingle count attached (so pair rows are self-contained — no
        corpus-wide doc→count broadcast at scale).
-    2. groupby coarse shard of the shingle string; inside, a vectorized
-       pandas self-merge per shingle emits partial pair-intersection counts.
-       Common shingles fan out pairs — at production scale cap document
-       frequency (drop shingles with df > cap) like every inverted-index
-       dedup does; the cap is a parameter left None here for oracle parity.
+    2. groupby coarse shard of the shingle string; a shingle's full posting
+       list lives in ONE shard, so the df cap is an exact local filter;
+       a vectorized pandas self-merge emits partial pair-intersections.
     3. groupby coarse shard of the (ia, ib) pair; sum partial intersections,
        keep pairs with inter/(na+nb-inter) ≥ threshold, collect the distinct
        larger ids (≪ corpus) and anti-filter via broadcast."""
@@ -292,6 +317,9 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
         return batch.append_column("shard", h)
 
     def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df_g = group.groupby("g")["doc"].transform("size")
+            group = group[df_g <= max_df]
         m = group.merge(group, on="g", suffixes=("_a", "_b"))
         m = m[m["doc_a"] < m["doc_b"]]
         agg = (
