@@ -173,6 +173,51 @@ def _read_binary(paths):
     return rd.read_binary_files(paths, include_paths=True)
 
 
+def url_to_filename(url: str) -> str:
+    """SURVEY §2.2 M5 — ref:Crawl_Page/convert_warc_to_htmls.py:13-19 byte for
+    byte: strip protocol, non-alphanumerics → '_', truncate to 100, '.html'."""
+    import re
+
+    name = re.sub(r"^https?://", "", url)
+    name = re.sub(r"[^a-zA-Z0-9]", "_", name)
+    return name[:100] + ".html"
+
+
+def warc_to_html_files(paths, htmls_dir: str):
+    """SURVEY §2.1 S9 — ref:convert_warc_to_htmls.py:21-57 (the repo's copy is
+    merge-conflict-broken; semantics reconstructed): for each response record
+    whose extracted text survives strip→clean→long-repeat-removal, write the
+    RAW payload to ``htmls_dir/url_to_filename(uri)``. Writes happen inside
+    the map task (task-local, no shuffle); returns a counter Dataset
+    (warc_path, records_in, files_written)."""
+    import os
+
+    from chinese_corpus_cleaning_ray.functions.textclean import (
+        clean_text_ws,
+        remove_long_repeated_substrings,
+    )
+    from chinese_corpus_cleaning_ray.stages.analysis import strip_html_text
+
+    os.makedirs(htmls_dir, exist_ok=True)
+    files = _read_binary(paths)
+
+    def process(row: dict) -> list[dict]:
+        rows = parse_warc_bytes(row["bytes"], row["path"])
+        written = 0
+        for r in rows:
+            html = r["payload"].decode("utf-8", errors="ignore")
+            text = remove_long_repeated_substrings(clean_text_ws(strip_html_text(html)))
+            if not text.strip():
+                continue
+            with open(os.path.join(htmls_dir, url_to_filename(r["target_uri"])), "wb") as f:
+                f.write(r["payload"])
+            written += 1
+        return [{"warc_path": row["path"], "records_in": len(rows),
+                 "files_written": written}]
+
+    return files.flat_map(process)
+
+
 def read_warc(paths, record_types: tuple = ("response",)):
     """Ray Data plan: one row per WARC record of the wanted types. Each file is
     parsed inside the reading task (flat_map over binary files) — streaming,

@@ -66,6 +66,29 @@ def add_clean_text(ds, text_col: str = "text", variant: str = "ws",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def strip_html_text(html: str) -> str:
+    """Scalar HTML→text (ref:tool.py:38-63 semantics): bs4 when available,
+    regex tag stripper fallback. Row-local helper for task-side sinks; the
+    Dataset-level variant is ``strip_html``."""
+    import re
+
+    if not html:
+        return ""
+    try:
+        from bs4 import BeautifulSoup  # optional
+
+        soup = BeautifulSoup(html, "html.parser")
+        for el in soup(["script", "style", "meta", "noscript", "header", "footer", "nav"]):
+            el.extract()
+        return clean_text_ws(soup.get_text(separator=" "))
+    except ImportError:
+        script_re = re.compile(
+            r"<(script|style|meta|noscript|header|footer|nav)\b[^>]*>.*?</\1>",
+            re.IGNORECASE | re.DOTALL,
+        )
+        return clean_text_ws(re.sub(r"<[^>]+>", " ", script_re.sub(" ", html)))
+
+
 def strip_html(ds, html_col: str = "text", out_col: str = "clean_text",
                drop_tags: bool = True):
     """ref:tool.py:38-63 — bs4 HTML strip; gated behind an import-try since

@@ -111,3 +111,55 @@ def test_download_resumable_resumes_from_partial(tmp_path):
     t3 = _FakeTransport(blob)
     res2 = download_resumable("http://x/archive.warc.gz", path, t3)
     assert res2["complete"] and t3.bytes_shipped == 0
+
+
+def test_url_to_filename_matches_reference_semantics():
+    from chinese_corpus_cleaning_ray.sources.warc import url_to_filename
+
+    assert url_to_filename("https://example.com/path/页面?q=1") == \
+        "example_com_path____q_1.html"
+    assert url_to_filename("http://a.b/c") == "a_b_c.html"
+    long = "https://" + "x" * 300
+    assert len(url_to_filename(long)) == 105  # 100 + ".html"
+
+
+def test_warc_to_html_files_sink(ray_session, tmp_path):
+    from chinese_corpus_cleaning_ray.sources.warc import (
+        build_warc_record,
+        url_to_filename,
+        warc_to_html_files,
+    )
+
+    recs = [
+        build_warc_record("http://keep.example/page", "<html><body>这是一段足够长的正文内容保留下来</body></html>".encode(), "<u:1>"),
+        build_warc_record("http://empty.example/", b"<html><script>var x=1;</script></html>", "<u:2>"),
+    ]
+    src = tmp_path / "in.warc"
+    src.write_bytes(b"".join(recs))
+    out = str(tmp_path / "htmls")
+    counters = warc_to_html_files(str(src), out).to_pandas()
+    assert counters["records_in"].sum() == 2
+    assert counters["files_written"].sum() == 1
+    assert os.listdir(out) == [url_to_filename("http://keep.example/page")]
+
+
+def test_crawl_pipeline_end_to_end(ray_session, tmp_path):
+    """C9: WARC → strip → clean → langid → keep zh → parquet, one plan."""
+    import pyarrow.dataset as pads
+
+    from chinese_corpus_cleaning_ray.pipelines.crawl import run_crawl_job
+    from chinese_corpus_cleaning_ray.sources.warc import build_warc_record
+
+    zh = "<html><body>" + "这里是一段高质量的中文网页正文内容，讨论分布式计算。" * 3 + "</body></html>"
+    en = "<html><body>" + "This is an english only page about nothing much at all. " * 3 + "</body></html>"
+    recs = [build_warc_record(f"http://p{i}.example/", (zh if i % 2 == 0 else en).encode(), f"<u:{i}>")
+            for i in range(4)]
+    src = tmp_path / "crawl.warc"
+    src.write_bytes(b"".join(recs))
+    out = str(tmp_path / "pages")
+    stats = run_crawl_job(str(src), out)
+    assert stats["pages_kept"] == 2
+    t = pads.dataset(out).to_table()
+    assert sorted(t.column("target_uri").to_pylist()) == \
+        ["http://p0.example/", "http://p2.example/"]
+    assert set(t.column("lang").to_pylist()) == {"zh"}
