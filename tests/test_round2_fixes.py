@@ -356,3 +356,25 @@ def test_topk_per_group_and_sliding_window(ray_session):
     win = sliding_window_counts(rd.from_arrow(ev), window_hours=3)
     got = dict(zip(win["hour_bucket"], win["window_events"]))
     assert got == {0: 2, 1: 3, 5: 2, 6: 3}
+
+
+def test_compact_refuses_on_manifest_rowcount_mismatch(ray_session, input_dir, cfg, tmp_path):
+    """An extra (duplicate-row) piece under a committed stem makes the group's
+    row count exceed the manifest total: compact must leave the group alone
+    and report the mismatch rather than merging duplicates in."""
+    import compact as compact_mod
+
+    from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
+
+    out = str(tmp_path / "out")
+    run_quality_job(input_dir, out, cfg)
+    m = Manifest(out)
+    piece = sorted(glob.glob(f"{m.data_dir}/part_id=*/*.parquet"))[0]
+    pdir = os.path.dirname(piece)
+    stem = os.path.basename(piece).rsplit("-", 1)[0]
+    # duplicate rows on disk under the same stem (residue a crashed tool left)
+    pq.write_table(pq.read_table(piece), os.path.join(pdir, f"{stem}-bbbb0001.parquet"))
+    before = sorted(os.listdir(pdir))
+    stats = compact_mod.compact(out)
+    assert stats["row_mismatches"] >= 1
+    assert sorted(os.listdir(pdir)) == before, "mismatched group was modified"

@@ -67,12 +67,16 @@ def _expected_rows(output_dir: str, stem: str, pid: int) -> int | None:
     try:
         with open(mpath) as fh:
             rec = json.load(fh)
-        return int(rec.get("per_partition", {})[str(pid)])
-    except (KeyError, ValueError, json.JSONDecodeError, OSError):
-        try:
-            return int(rec.get("per_partition", {})[pid])  # int-keyed in-memory form
-        except Exception:
-            return None
+    except (json.JSONDecodeError, OSError):
+        return None
+    per_part = rec.get("per_partition", {})
+    for key in (str(pid), pid):  # json stores string keys; tolerate int-keyed
+        if key in per_part:
+            try:
+                return int(per_part[key])
+            except (TypeError, ValueError):
+                return None
+    return None
 
 
 def compact(output_dir: str) -> dict:
