@@ -12,6 +12,12 @@ ref:process_documents.py:86-161 ``process/...``):
         train the char n-gram LM (A7) from the ``text`` column of kept rows
     python -m chinese_corpus_cleaning_ray synth    --output DIR --rows N
         write the deterministic synthetic transcript corpus
+    python -m chinese_corpus_cleaning_ray crawl    --warc GLOB --output DIR
+        WARC → strip → clean → langid → keep-zh → parquet (EP3 chain, C9)
+    python -m chinese_corpus_cleaning_ray compact  --output DIR
+        merge checkpoint piece files per (partition, input shard); crash-safe
+    python -m chinese_corpus_cleaning_ray mergewords --lists F1 F2 ... --out F
+        union+dedupe+sort word lists (ref merge_all_sensitive_words)
 
 Owns the Ray session (guarded init) — the only place in the package that may
 call ray.init.
@@ -26,9 +32,12 @@ from dataclasses import replace
 
 
 def _ray_init(num_cpus: int | None):
+    """Returns (ray, owned): ``owned`` is True iff WE initialized the session
+    — only then may we shut it down (never tear down a caller's session)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
                       logging_level="ERROR")
         if num_cpus:
@@ -37,7 +46,7 @@ def _ray_init(num_cpus: int | None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--skew", action="store_true")
 
+    cp = sub.add_parser("crawl")
+    cp.add_argument("--warc", required=True, help="WARC file/dir/glob")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--num-cpus", type=int, default=None)
+
+    kp = sub.add_parser("compact")
+    kp.add_argument("--output", required=True, help="checkpoint output dir")
+
+    mp = sub.add_parser("mergewords")
+    mp.add_argument("--lists", nargs="+", required=True)
+    mp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -74,7 +95,31 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": out, "rows": args.rows}))
         return 0
 
-    ray = _ray_init(args.num_cpus)
+    if args.cmd == "compact":
+        from chinese_corpus_cleaning_ray.state.compact import compact
+
+        print(json.dumps(compact(args.output)))
+        return 0
+
+    if args.cmd == "mergewords":
+        from chinese_corpus_cleaning_ray.functions.wordlists import merge_wordlists
+
+        n = merge_wordlists(args.lists, args.out)
+        print(json.dumps({"out": args.out, "entries": n}))
+        return 0
+
+    if args.cmd == "crawl":
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            from chinese_corpus_cleaning_ray.pipelines.crawl import run_crawl_job
+
+            print(json.dumps(run_crawl_job(args.warc, args.output)))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    ray, owned = _ray_init(args.num_cpus)
     try:
         if args.cmd == "train":
             import ray.data as rd
@@ -109,7 +154,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -154,3 +154,28 @@ def test_cli_synth_and_process(tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["total"] == 2000 and stats["files_done"] >= 1
+
+
+def test_cli_crawl_and_compact(ray_session, tmp_path):
+    """Round-2 CLI surface: crawl (runs in-process to reuse the session) and
+    compact + mergewords subcommands."""
+    from chinese_corpus_cleaning_ray.__main__ import main
+    from chinese_corpus_cleaning_ray.sources.warc import build_warc_record
+
+    zh = ("<html><body>" + "中文网页正文内容示例，讨论语料清洗。" * 4 + "</body></html>").encode()
+    (tmp_path / "c.warc").write_bytes(build_warc_record("http://x.example/", zh, "<u:0>"))
+    rc = main(["crawl", "--warc", str(tmp_path / "c.warc"),
+               "--output", str(tmp_path / "pages")])
+    assert rc == 0
+
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "pages" / "*.parquet"))
+
+    lists = []
+    for i in range(2):
+        f = tmp_path / f"w{i}.txt"
+        f.write_text("共词\n" + f"词{i}\n", encoding="utf-8")
+        lists.append(str(f))
+    rc = main(["mergewords", "--lists", *lists, "--out", str(tmp_path / "m.txt")])
+    assert rc == 0
+    assert (tmp_path / "m.txt").read_text(encoding="utf-8").split() == ["共词", "词0", "词1"]
