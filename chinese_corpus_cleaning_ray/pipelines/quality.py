@@ -17,6 +17,7 @@ from chinese_corpus_cleaning_ray.stages.quality_stages import (
     ClusteringStage,
     FeatureScrubStage,
     PplStage,
+    make_feature_scrub_fn,
     make_langid_rules_fn,
     make_score_fn,
 )
@@ -46,15 +47,25 @@ def build_quality_pipeline(
             batch_size=cfg.batch_size,
         )
     if cfg.enable_feature_words or cfg.enable_scrub:
-        ds = ds.map_batches(
-            FeatureScrubStage,
-            fn_constructor_kwargs={"cfg": cfg, "words": words},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=resolve_pool(cfg.scrub_actors,
-                                     fraction=0.45 if cfg.enable_perplexity else 0.6),
-            num_cpus=1,
-        )
+        if words is None:
+            # packaged mini list: trie build is ~1 ms — a per-worker cached
+            # task stage beats an actor pool's spin-up and uses every CPU
+            ds = ds.map_batches(
+                make_feature_scrub_fn(cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        else:
+            # injected (possibly 43k-entry) list: amortize the build per actor
+            ds = ds.map_batches(
+                FeatureScrubStage,
+                fn_constructor_kwargs={"cfg": cfg, "words": words},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=resolve_pool(cfg.scrub_actors,
+                                         fraction=0.45 if cfg.enable_perplexity else 0.6),
+                num_cpus=1,
+            )
     if cfg.enable_perplexity:
         ds = ds.map_batches(
             PplStage,

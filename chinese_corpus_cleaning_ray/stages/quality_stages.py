@@ -118,6 +118,27 @@ class FeatureScrubStage:
         return batch
 
 
+_FEATURE_STAGE_CACHE: dict = {}
+
+
+def make_feature_scrub_fn(cfg: PipelineConfig):
+    """Task-stage variant of FeatureScrubStage for the PACKAGED word list:
+    the default list is ~100 entries (trie build ~1 ms), so per-worker cached
+    construction beats an actor pool's multi-second spin-up per query. Large
+    injected lists (43k production entries, 0.2 s build) stay on the
+    actor-pool path in ``build_quality_pipeline``."""
+    key = cfg.config_hash()
+
+    def feature_scrub(batch: pa.Table) -> pa.Table:
+        stage = _FEATURE_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = FeatureScrubStage(cfg, None)
+            _FEATURE_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return feature_scrub
+
+
 class PplStage:
     """Actor-pool stage: n-gram perplexity (model loaded/trained once per actor).
 
