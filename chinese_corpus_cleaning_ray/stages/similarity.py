@@ -88,26 +88,35 @@ class BruteKnnStage:
         )
 
 
+_KNN_STAGE_CACHE: dict = {}
+
+
 def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
               vec_col: str = "embedding", concurrency=8):
     """Exact cosine top-k for each query row of ``queries`` (Q, d).
-    Result: (query_id, id_col, cos) — k rows per query, best first."""
+    Result: (query_id, id_col, cos) — k rows per query, best first.
+
+    The query matrix is broadcast once via ``ray.put``; the per-batch scorer
+    is a TASK stage with a per-worker cache keyed by the broadcast handle
+    (state = one normalized matrix — building it per worker is microseconds,
+    an actor pool's spin-up is seconds)."""
     try:
         import ray
 
         q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+        cache_key = (q_ref.hex(), k, id_col, vec_col)
     except Exception:
         q_ref = np.asarray(queries, dtype=np.float64)
+        cache_key = (id(q_ref), k, id_col, vec_col)
 
-    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+    def score_batch(batch: pa.Table) -> pa.Table:
+        stage = _KNN_STAGE_CACHE.get(cache_key)
+        if stage is None:
+            stage = BruteKnnStage(q_ref, k=k, id_col=id_col, vec_col=vec_col)
+            _KNN_STAGE_CACHE[cache_key] = stage
+        return stage(batch)
 
-    candidates = ds.map_batches(
-        BruteKnnStage,
-        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency, fraction=0.4),
-        num_cpus=1,
-    )
+    candidates = ds.map_batches(score_batch, batch_format="pyarrow")
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(
