@@ -125,6 +125,96 @@ class FrameSampleStage:
         )
 
 
+class DeterministicFakeResizer:
+    """Resize contract without an image lib: emits a deterministic payload
+    derived from (source bytes, target dims) plus the target dims — stable
+    across runs, so downstream schemas/dedup behave like the real path."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.width = width
+        self.height = height
+
+    def resize(self, payload: bytes) -> dict:
+        if not payload:
+            return {"payload": b"", "width": 0, "height": 0, "ok": False}
+        h = hashlib.blake2b(payload + f"{self.width}x{self.height}".encode(),
+                            digest_size=32).digest()
+        # fake thumbnail: digest tiled to a size proportional to the target
+        fake = (h * (self.width * self.height // len(h) + 1))[: self.width * self.height]
+        return {"payload": bytes(fake), "width": self.width, "height": self.height,
+                "ok": True}
+
+
+class RealImageResizer:  # pragma: no cover - env-gated (PIL absent here)
+    """Real PIL resize → PNG re-encode; same .resize(bytes)->dict contract."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image resizing requires PIL/pillow; inject "
+                "DeterministicFakeResizer or any .resize(bytes)->dict object"
+            ) from e
+        self._Image = Image
+        self.width = width
+        self.height = height
+
+    def resize(self, payload: bytes) -> dict:
+        import io
+
+        if not payload:
+            return {"payload": b"", "width": 0, "height": 0, "ok": False}
+        try:
+            with self._Image.open(io.BytesIO(payload)) as im:
+                out = im.resize((self.width, self.height))
+                buf = io.BytesIO()
+                out.save(buf, format="PNG")
+                return {"payload": buf.getvalue(), "width": self.width,
+                        "height": self.height, "ok": True}
+        except Exception:
+            return {"payload": b"", "width": 0, "height": 0, "ok": False}
+
+
+class ImageResizeStage:
+    """Actor-pool stage: binary column → resized binary + dims. Resizer is
+    constructed once per actor; small batches — wide binary rows."""
+
+    def __init__(self, binary_col: str = "payload", width: int = 64, height: int = 64,
+                 resizer_factory=DeterministicFakeResizer):
+        self.binary_col = binary_col
+        self.resizer = resizer_factory(width, height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.binary_col).to_pylist()
+        outs = [self.resizer.resize(p) for p in payloads]
+        batch = batch.append_column(
+            "resized", pa.array([o["payload"] for o in outs], pa.binary()))
+        batch = batch.append_column(
+            "resized_width", pa.array([o["width"] for o in outs], pa.int32()))
+        batch = batch.append_column(
+            "resized_height", pa.array([o["height"] for o in outs], pa.int32()))
+        batch = batch.append_column(
+            "resize_ok", pa.array([o["ok"] for o in outs], pa.bool_()))
+        return batch
+
+
+def resize_images(ds, binary_col: str = "payload", width: int = 64, height: int = 64,
+                  resizer_factory=DeterministicFakeResizer,
+                  batch_size: int = 64, concurrency=4):
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs=dict(binary_col=binary_col, width=width, height=height,
+                                   resizer_factory=resizer_factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=resolve_pool(concurrency, fraction=0.4),
+        num_cpus=1,
+    )
+
+
 def decode_images(ds, binary_col: str = "payload", decoder_factory=DeterministicFakeDecoder,
                   batch_size: int = 64, concurrency=4):
     from chinese_corpus_cleaning_ray.stages.pools import resolve_pool

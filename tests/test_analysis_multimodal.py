@@ -85,3 +85,25 @@ def test_real_decoder_raises_cleanly():
 
     with pytest.raises(NotImplementedError, match="image decoding requires"):
         RealImageDecoder().decode(b"abc")
+
+
+def test_resize_stage(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.multimodal import resize_images
+
+    tbl = pa.table({
+        "img_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([b"\x89PNGfake-bytes-0", b"\x89PNGfake-bytes-1", b""],
+                            pa.binary()),
+    })
+    out = resize_images(rd.from_arrow(tbl), width=8, height=8).to_pandas()
+    out = out.sort_values("img_id").reset_index(drop=True)
+    assert out["resize_ok"].tolist() == [True, True, False]
+    assert out.loc[0, "resized_width"] == 8 and out.loc[0, "resized_height"] == 8
+    assert len(out.loc[0, "resized"]) == 64  # fake thumbnail ∝ target dims
+    assert out.loc[0, "resized"] != out.loc[1, "resized"]  # content-dependent
+    # deterministic across runs
+    out2 = resize_images(rd.from_arrow(tbl), width=8, height=8).to_pandas()
+    out2 = out2.sort_values("img_id").reset_index(drop=True)
+    assert out.loc[0, "resized"] == out2.loc[0, "resized"]
