@@ -147,7 +147,13 @@ def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
 
     def add_shard(batch: pa.Table) -> pa.Table:
         # shards must be a power of two: shard = user_id & (shards-1)
-        shard = pc.bit_wise_and(batch.column("user_id"), shards - 1)
+        col = batch.column("user_id")
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"sessionize_events shards on integer user_id; got {col.type}. "
+                "Hash string ids to int64 in an upstream map_batches first."
+            )
+        shard = pc.bit_wise_and(col, shards - 1)
         return batch.append_column("shard", pc.cast(shard, pa.int32()))
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
