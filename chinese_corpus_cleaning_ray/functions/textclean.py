@@ -17,6 +17,39 @@ meaningful-segment extraction (ref::127-154), spam-pattern detection
 
 from __future__ import annotations
 
+import re as _re
+
+_SENT_BOUNDARY = _re.compile(r"(?<=[。！？!?\.])")
+
+
+def chunk_text(text: str, max_chars: int = 512) -> list[str]:
+    """Native replacement for the reference's remote Jina segmenter
+    (ref:jina/seg.py:8-22 POSTs to api.jina.ai — external demo service,
+    dropped by design in SURVEY §2.2 M22): deterministic sentence-boundary
+    chunking. Sentences (split after 。！？!?.) are greedily packed into
+    chunks ≤ max_chars; a single sentence longer than max_chars is hard-split.
+    Returns [] for empty text."""
+    if not text:
+        return []
+    sents = [s for s in _SENT_BOUNDARY.split(text) if s]
+    chunks: list[str] = []
+    cur = ""
+    for s in sents:
+        while len(s) > max_chars:
+            if cur:
+                chunks.append(cur)
+                cur = ""
+            chunks.append(s[:max_chars])
+            s = s[max_chars:]
+        if len(cur) + len(s) <= max_chars:
+            cur += s
+        else:
+            chunks.append(cur)
+            cur = s
+    if cur:
+        chunks.append(cur)
+    return chunks
+
 import re
 
 _WS_RE = re.compile(r"\s+")

@@ -66,6 +66,33 @@ def add_clean_text(ds, text_col: str = "text", variant: str = "ws",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def segment_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                      max_chars: int = 512):
+    """One row per chunk: (id_col, chunk_idx, text) — the embedding-prep
+    chunking step (native M22 replacement; see functions.textclean.chunk_text).
+    flat_map-shaped via map_batches so output stays columnar Arrow."""
+    import pyarrow as pa
+
+    from chinese_corpus_cleaning_ray.functions.textclean import chunk_text
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_idx, out_text = [], [], []
+        for i, t in zip(ids, texts):
+            for j, c in enumerate(chunk_text(t, max_chars)):
+                out_id.append(i)
+                out_idx.append(j)
+                out_text.append(c)
+        return pa.table({
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "chunk_idx": pa.array(out_idx, pa.int32()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def strip_html_text(html: str) -> str:
     """Scalar HTML→text (ref:tool.py:38-63 semantics): bs4 when available,
     regex tag stripper fallback. Row-local helper for task-side sinks; the

@@ -107,3 +107,28 @@ def test_resize_stage(ray_session):
     out2 = resize_images(rd.from_arrow(tbl), width=8, height=8).to_pandas()
     out2 = out2.sort_values("img_id").reset_index(drop=True)
     assert out.loc[0, "resized"] == out2.loc[0, "resized"]
+
+
+def test_chunk_text_and_segment_documents(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.functions.textclean import chunk_text
+    from chinese_corpus_cleaning_ray.stages.analysis import segment_documents
+
+    assert chunk_text("") == []
+    t = "第一句。第二句！第三句？tail without end"
+    chunks = chunk_text(t, max_chars=8)
+    assert "".join(chunks) == t                      # lossless
+    assert all(len(c) <= 8 for c in chunks)
+    # oversized single sentence hard-splits
+    long_sent = "x" * 25
+    lc = chunk_text(long_sent, max_chars=10)
+    assert "".join(lc) == long_sent and max(len(c) for c in lc) <= 10
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["一句。二句。三句。", ""], pa.string())})
+    out = segment_documents(rd.from_arrow(tbl), max_chars=4).to_pandas()
+    got = out.sort_values(["doc_id", "chunk_idx"])
+    assert got["doc_id"].tolist() == [1, 1, 1]       # empty doc → no chunks
+    assert "".join(got["text"]) == "一句。二句。三句。"
+    assert got["chunk_idx"].tolist() == [0, 1, 2]
