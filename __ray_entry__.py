@@ -420,6 +420,17 @@ def _q_knn_ivf(sf_dir: str):
     return df[["query_id", "vec_id"]].astype("int64")
 
 
+def _q_knn_ivf_kmeans(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_ivf_kmeans
+
+    q = _query_vectors(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_ivf_kmeans(ds, q, k=10, n_clusters=16, nprobe=3).to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    return df[["query_id", "vec_id"]].astype("int64")
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -585,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "transcripts_conversation_stats": _q_conversation_stats,
         "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,

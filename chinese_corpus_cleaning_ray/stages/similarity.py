@@ -204,6 +204,63 @@ def _bucket_keeper_dups(v: np.ndarray, threshold: float,
     return dup
 
 
+def train_kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side SAMPLE (normalized rows),
+    numpy-vectorized. The sample is the only thing that leaves the cluster —
+    centroid training on a bounded sample is the standard IVF recipe."""
+    v = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(v))
+    cent = v[rng.choice(len(v), n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = v[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf_kmeans(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 16,
+                   nprobe: int = 2, sample_size: int = 10_000, seed: int = 42):
+    """Classic IVF: k-means coarse quantizer trained on a driver-side sample,
+    centroids broadcast; each batch keeps only rows whose nearest centroid is
+    among any query's ``nprobe`` closest centroids, then exact top-k over the
+    survivors. Approximate; recall grows with nprobe. Same output shape as
+    knn_brute. At cluster scale the sample bound and the centroid broadcast
+    keep driver memory constant regardless of corpus size."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample = ds.limit(sample_size).to_pandas()
+    sv = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    cent = train_kmeans(sv, n_clusters, seed=seed)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+
+    try:
+        import ray
+
+        cent_ref = ray.put(cent)
+    except Exception:
+        cent_ref = cent
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = cent_ref
+        if "ObjectRef" in type(c).__name__:
+            c = _ray.get(c)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = (m @ c.T).argmax(axis=1)
+        mask = np.isin(assign, wanted)
+        return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(prefilter, batch_format="pyarrow")
+    return knn_brute(filtered, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                     threshold: float = 0.85, nbits: int | None = None,
                     seed: int = 42, shards: int = 256,

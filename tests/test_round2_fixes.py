@@ -378,3 +378,28 @@ def test_compact_refuses_on_manifest_rowcount_mismatch(ray_session, input_dir, c
     stats = compact_mod.compact(out)
     assert stats["row_mismatches"] >= 1
     assert sorted(os.listdir(pdir)) == before, "mismatched group was modified"
+
+
+def test_knn_ivf_kmeans_recall(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_brute, knn_ivf_kmeans
+
+    rng = np.random.RandomState(9)
+    n, d = 3_000, 32
+    centers = rng.standard_normal((12, d)) * 2
+    vecs = centers[rng.randint(0, 12, n)] + rng.standard_normal((n, d)) * 0.3
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    q = vecs[:4]
+    brute = knn_brute(rd.from_arrow(tbl), q, k=10).to_pandas()
+    approx = knn_ivf_kmeans(rd.from_arrow(tbl), q, k=10, n_clusters=12,
+                            nprobe=3).to_pandas()
+    per_q = []
+    for qi in range(len(q)):
+        want = set(brute[brute.query_id == qi].vec_id)
+        got = set(approx[approx.query_id == qi].vec_id)
+        per_q.append(len(want & got) / len(want))
+    assert float(np.mean(per_q)) >= 0.9, f"kmeans-IVF recall collapsed: {per_q}"
