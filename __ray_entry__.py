@@ -159,30 +159,38 @@ _LANGID_SQL_COLS = """
 # ---------------------------------------------------------------------------
 
 def _q_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def prep(batch: pa.Table) -> pa.Table:
+        # partial aggregation inside the batch (SURVEY §4 discipline): the
+        # shuffle moves ≤6 partial rows per block instead of every line item
         cents = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
         qty = pc.cast(batch.column("l_quantity"), pa.int64())
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": batch.column("l_returnflag"),
-                "l_linestatus": batch.column("l_linestatus"),
-                "qty": qty,
-                "price_cents": cents,
+                "l_returnflag": batch.column("l_returnflag").to_pylist(),
+                "l_linestatus": batch.column("l_linestatus").to_pylist(),
+                "qty": qty.to_numpy(zero_copy_only=False),
+                "price_cents": cents.to_numpy(zero_copy_only=False),
             }
         )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price_cents=("price_cents", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_base_price_cents"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
@@ -215,25 +223,32 @@ def _q_orders_by_nation(sf_dir: str):
     """Broadcast hash join: customer (small side) shipped once via ray.put,
     looked up per batch — no shuffle (SURVEY §2.4 pattern)."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
     def attach(batch: pa.Table) -> pa.Table:
+        # broadcast lookup + per-batch partial aggregation: the shuffle moves
+        # ≤25 nation partials per block, not every order
         lookup = ray.get(lookup_ref)
-        nk = [lookup[k] for k in batch.column("o_custkey").to_pylist()]
-        price_cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
-        # int32 to match the customer table's native c_nationkey dtype (the
-        # oracle GROUP BY passes it through unwidened)
-        return pa.table({"c_nationkey": pa.array(nk, pa.int32()),
-                         "price_cents": price_cents})
+        nk = np.fromiter((lookup[k] for k in batch.column("o_custkey").to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        price_cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                              pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c_nationkey": nk, "price_cents": price_cents})
+        g = df.groupby("c_nationkey", sort=False).agg(
+            order_count=("price_cents", "size"),
+            total_price_cents=("price_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(attach, batch_format="pyarrow")
         .groupby("c_nationkey")
-        .aggregate(Count(alias_name="order_count"), Sum("price_cents", alias_name="total_price_cents"))
+        .aggregate(Sum("order_count", alias_name="order_count"),
+                   Sum("total_price_cents", alias_name="total_price_cents"))
         .to_pandas()
         .sort_values("c_nationkey", kind="mergesort")
         .reset_index(drop=True)
@@ -247,21 +262,29 @@ def _q_orders_by_nation(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     def bucket(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch.column("ts"), pa.int64())
-        hour = pc.divide(us, 3_600_000_000)
-        return pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
-                         "event_id": batch.column("event_id")})
+        # per-batch partial aggregation — one row per present hour per block
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "hour_bucket": us // 3_600_000_000,
+            "event_id": batch.column("event_id").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("hour_bucket", sort=False).agg(
+            n_events=("event_id", "size"),
+            min_event_id=("event_id", "min"),
+            max_event_id=("event_id", "max"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     out = (
         _read(sf_dir, "events", columns=["ts", "event_id"])
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("hour_bucket")
-        .aggregate(Count(alias_name="n_events"),
-                   Min("event_id", alias_name="min_event_id"),
-                   Max("event_id", alias_name="max_event_id"))
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Min("min_event_id", alias_name="min_event_id"),
+                   Max("max_event_id", alias_name="max_event_id"))
         .to_pandas()
         .sort_values("hour_bucket", kind="mergesort")
         .reset_index(drop=True)
