@@ -206,12 +206,18 @@ def _q_pricing_summary(sf_dir: str):
 
 
 def _q_topk_users(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(zero_copy_only=False)})
+        g = df.groupby("user_id", sort=False).size().reset_index(name="n_events")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"))
+        .aggregate(Sum("n_events", alias_name="n_events"))
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
@@ -294,12 +300,18 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_event_type_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist()})
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         _read(sf_dir, "events", columns=["event_type"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
         .sort_values("event_type", kind="mergesort")
         .reset_index(drop=True)
