@@ -202,6 +202,29 @@ def make_piece_writer(data_dir: str, keep_text: bool):
     return write_pieces
 
 
+_FUSED_STAGE_CACHE: dict = {}
+
+
+def make_fused_quality_write_fn(cfg: PipelineConfig, data_dir: str, keep_text: bool):
+    """Task-stage variant of FusedQualityWriteStage for the PACKAGED word
+    list: state (a ~100-entry trie + score weights) builds in ~1 ms, so a
+    per-worker cache beats an actor pool — and skipping pool spin-up removes
+    a fixed ~2 s that hits the 32-CPU side of the scaling ratio ~3× harder
+    than the 8-CPU side. Tasks also let read/compute/write share ALL CPUs
+    under the scheduler instead of a hand-tuned pool fraction. Injected
+    (production 43k) lists stay on the actor-pool path."""
+    key = (cfg.config_hash(), data_dir, keep_text)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        stage = _FUSED_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = FusedQualityWriteStage(cfg, None, data_dir, keep_text)
+            _FUSED_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return fused
+
+
 class FusedQualityWriteStage:
     """Actor-pool stage fusing scrub → composite score → piece write.
 
@@ -305,21 +328,30 @@ def run_quality_job(
             if cfg.enable_langid or cfg.enable_rule_filter:
                 ds = ds.map_batches(make_langid_rules_fn(cfg), batch_format="pyarrow",
                                     batch_size=cfg.batch_size)
-            counters = ds.map_batches(
-                FusedQualityWriteStage,
-                fn_constructor_kwargs=dict(cfg=cfg, words=words,
-                                           data_dir=manifest.data_dir,
-                                           keep_text=cfg.keep_original_text),
-                batch_format="pyarrow",
-                batch_size=None,
-                # 0.7 measured best: leaves CPUs for the read tasks feeding the
-                # pool and keeps the block/actor wave tail fine-grained
-                # (1.0 → 12.5s, 0.8 → 10.8s, 0.7 → 9.6s, 0.6 → 10.4s at 1M/32c)
-                concurrency=resolve_pool(
-                    cfg.scrub_actors,
-                    fraction=float(os.environ.get("CCC_POOL_FRACTION", "0.7"))),
-                num_cpus=1,
-            ).to_pandas()
+            if words is None and os.environ.get("CCC_FUSED_TASKS", "1") != "0":
+                # packaged list: cached task stage, no pool spin-up
+                counters = ds.map_batches(
+                    make_fused_quality_write_fn(cfg, manifest.data_dir,
+                                                cfg.keep_original_text),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                ).to_pandas()
+            else:
+                counters = ds.map_batches(
+                    FusedQualityWriteStage,
+                    fn_constructor_kwargs=dict(cfg=cfg, words=words,
+                                               data_dir=manifest.data_dir,
+                                               keep_text=cfg.keep_original_text),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    # 0.7 measured best: leaves CPUs for the read tasks feeding
+                    # the pool and keeps the block/actor wave tail fine-grained
+                    # (1.0 → 12.5s, 0.8 → 10.8s, 0.7 → 9.6s, 0.6 → 10.4s at 1M/32c)
+                    concurrency=resolve_pool(
+                        cfg.scrub_actors,
+                        fraction=float(os.environ.get("CCC_POOL_FRACTION", "0.7"))),
+                    num_cpus=1,
+                ).to_pandas()
         else:
             ds = build_quality_pipeline(ds, cfg, words=words)
             writer = make_piece_writer(manifest.data_dir, cfg.keep_original_text)
