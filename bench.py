@@ -184,8 +184,12 @@ def run_scaling() -> dict:
         # single-box ratio reads 0.55: doubling small-cluster throughput slams
         # the 32-CPU side into this box's shared memory-bandwidth ceiling —
         # a penalty independent nodes don't pay. Both pairings in BASELINE.md.
+        # 4M-turn corpus by default: at 1M the 32-CPU side is fixed-cost
+        # dominated (11 s wall ≈ 4 s startup) and the ratio reads ~0.65
+        # regardless of the pipeline's real scaling behavior
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), CCC_BENCH_SCALING_CHILD="1",
-                   CCC_FUSED_TASKS="0")
+                   CCC_FUSED_TASKS="0",
+                   CCC_BENCH_TURNS=os.environ.get("CCC_BENCH_TURNS", "4000000"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
