@@ -403,3 +403,22 @@ def test_knn_ivf_kmeans_recall(ray_session):
         got = set(approx[approx.query_id == qi].vec_id)
         per_q.append(len(want & got) / len(want))
     assert float(np.mean(per_q)) >= 0.9, f"kmeans-IVF recall collapsed: {per_q}"
+
+
+def test_fused_task_and_actor_paths_identical(ray_session, input_dir, cfg, tmp_path, monkeypatch):
+    """The task-fused default and the actor-pool path (production-wordlist
+    shape, CCC_FUSED_TASKS=0) must produce byte-identical checkpointed
+    output — they are the same pipeline under two execution strategies."""
+    from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
+
+    out_task = str(tmp_path / "task")
+    monkeypatch.setenv("CCC_FUSED_TASKS", "1")
+    run_quality_job(input_dir, out_task, cfg)
+    task_t = _read_all_sorted(Manifest(out_task).data_dir)
+
+    out_pool = str(tmp_path / "pool")
+    monkeypatch.setenv("CCC_FUSED_TASKS", "0")
+    run_quality_job(input_dir, out_pool, cfg)
+    pool_t = _read_all_sorted(Manifest(out_pool).data_dir)
+
+    assert task_t.equals(pool_t), "task-fused and actor-pool outputs differ"
