@@ -397,4 +397,18 @@ def run_quality_job(
     totals["files_done"] = len(manifest.done_stems())
     totals["files_this_run"] = files_this_run
     totals["pieces_cleaned"] = pieces_cleaned
+
+    # run-level stats artifact (ref:main.py:309-311 writes stats.json per
+    # batch run) — derived from committed manifests, so it is also correct
+    # after a resume; tmp-then-rename like every other writer here
+    stats_record = {
+        **totals,
+        "kept_ratio": (totals["kept"] / totals["total"]) if totals["total"] else 0.0,
+        "config_hash": cfg_hash,
+        "completed_at": time.time(),
+    }
+    tmp = os.path.join(output_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats_record, f, indent=2)
+    os.replace(tmp, os.path.join(output_dir, "stats.json"))
     return totals

@@ -422,3 +422,20 @@ def test_fused_task_and_actor_paths_identical(ray_session, input_dir, cfg, tmp_p
     pool_t = _read_all_sorted(Manifest(out_pool).data_dir)
 
     assert task_t.equals(pool_t), "task-fused and actor-pool outputs differ"
+
+
+def test_stats_json_artifact(ray_session, input_dir, cfg, tmp_path):
+    """run-level stats.json (ref:main.py:309-311): totals + kept ratio +
+    config hash; correct after resume (derived from committed manifests)."""
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    out = str(tmp_path / "out")
+    stats = run_quality_job(input_dir, out, cfg)
+    rec = json.load(open(os.path.join(out, "stats.json")))
+    assert rec["total"] == 3_000 and rec["kept"] == stats["kept"]
+    assert abs(rec["kept_ratio"] - stats["kept"] / 3_000) < 1e-12
+    assert rec["config_hash"] == cfg.config_hash()
+    # resume (no-op) rewrites a consistent artifact
+    run_quality_job(input_dir, out, cfg)
+    rec2 = json.load(open(os.path.join(out, "stats.json")))
+    assert rec2["total"] == 3_000 and rec2["kept"] == rec["kept"]
