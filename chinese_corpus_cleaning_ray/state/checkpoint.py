@@ -43,12 +43,17 @@ import time
 import uuid
 import zlib
 
+import numpy as np
 import pyarrow as pa
 
 from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG, PipelineConfig
 from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
 
 PART_COL = "part_id"
+
+# fixed log-spaced perplexity histogram bin edges (north-rule counter:
+# "perplexity histograms"); the last bin is open-ended
+PPL_BIN_EDGES = [0.0, 50.0, 100.0, 200.0, 500.0, 1000.0, 5000.0, 10000.0]
 
 
 def conv_partition_ids(conv_ids: list[str], num_partitions: int) -> list[int]:
@@ -165,10 +170,16 @@ def make_piece_writer(data_dir: str, keep_text: bool):
         kept_col = _col_or_zeros("keep")
         err_col = _col_or_zeros("rule_error")
         scr_col = _col_or_zeros("sensitive_count", as_bool=True)
+        ppl_col = (
+            batch.column("ppl").to_numpy(zero_copy_only=False)
+            if "ppl" in batch.column_names else None
+        )
 
         out_stem: list[str] = []
         out_pid: list[int] = []
         out_counts: dict[str, list[int]] = {"total": [], "kept": [], "errors": [], "scrubbed": []}
+        n_bins = len(PPL_BIN_EDGES)  # last bucket open-ended
+        out_hist: list[list[int]] = []
         suffix = uuid.uuid4().hex[:8]
         start = 0
         while start < n:
@@ -189,6 +200,12 @@ def make_piece_writer(data_dir: str, keep_text: bool):
             out_counts["kept"].append(int(kept_col[start:end].sum()))
             out_counts["errors"].append(int(err_col[start:end].sum()))
             out_counts["scrubbed"].append(int(scr_col[start:end].sum()))
+            if ppl_col is not None:
+                idx = np.searchsorted(PPL_BIN_EDGES, ppl_col[start:end], side="right") - 1
+                out_hist.append(np.bincount(np.clip(idx, 0, n_bins - 1),
+                                            minlength=n_bins).tolist())
+            else:
+                out_hist.append([0] * n_bins)
             start = end
 
         return pa.table(
@@ -196,6 +213,7 @@ def make_piece_writer(data_dir: str, keep_text: bool):
                 "stem": pa.array(out_stem, pa.string()),
                 PART_COL: pa.array(out_pid, pa.int32()),
                 **{k: pa.array(v, pa.int64()) for k, v in out_counts.items()},
+                "ppl_hist": pa.array(out_hist, pa.list_(pa.int64())),
             }
         )
 
@@ -362,10 +380,15 @@ def run_quality_job(
             per_part = {
                 int(pid): int(t) for pid, t in g.groupby(PART_COL)["total"].sum().items()
             }
+            hist = (
+                np.sum(np.vstack(g["ppl_hist"].to_numpy()), axis=0).tolist()
+                if "ppl_hist" in g.columns and len(g) else [0] * len(PPL_BIN_EDGES)
+            )
             record = {
                 "stem": stem,
                 "input_size": os.path.getsize(by_stem[stem]),
                 "counters": {k: int(g[k].sum()) for k in ("total", "kept", "errors", "scrubbed")},
+                "ppl_hist": [int(x) for x in hist],
                 "per_partition": per_part,
                 "config_hash": cfg_hash,
                 "completed_at": time.time(),
@@ -390,10 +413,14 @@ def run_quality_job(
             files_this_run += 1
 
     totals = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}
+    ppl_hist_total = [0] * len(PPL_BIN_EDGES)
     for stem in manifest.done_stems():
-        c = manifest.read(stem)["counters"]
+        rec = manifest.read(stem)
+        c = rec["counters"]
         for k in totals:
             totals[k] += int(c.get(k, 0))
+        for i, v in enumerate(rec.get("ppl_hist", [])[: len(ppl_hist_total)]):
+            ppl_hist_total[i] += int(v)
     totals["files_done"] = len(manifest.done_stems())
     totals["files_this_run"] = files_this_run
     totals["pieces_cleaned"] = pieces_cleaned
@@ -404,6 +431,8 @@ def run_quality_job(
     stats_record = {
         **totals,
         "kept_ratio": (totals["kept"] / totals["total"]) if totals["total"] else 0.0,
+        "ppl_hist_bins": PPL_BIN_EDGES,
+        "ppl_hist": ppl_hist_total,
         "config_hash": cfg_hash,
         "completed_at": time.time(),
     }

@@ -439,3 +439,33 @@ def test_stats_json_artifact(ray_session, input_dir, cfg, tmp_path):
     run_quality_job(input_dir, out, cfg)
     rec2 = json.load(open(os.path.join(out, "stats.json")))
     assert rec2["total"] == 3_000 and rec2["kept"] == rec["kept"]
+
+
+def test_ppl_histogram_counters(ray_session, input_dir, tmp_path):
+    """North-rule counter: per-file + run-level perplexity histograms when the
+    ppl stage is enabled; zero vectors when it is not."""
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.state.checkpoint import (
+        PPL_BIN_EDGES,
+        Manifest,
+        run_quality_job,
+    )
+
+    cfg = replace(DEFAULT_CONFIG, num_partitions=4, enable_perplexity=True)
+    out = str(tmp_path / "out")
+    run_quality_job(input_dir, out, cfg)
+    rec = json.load(open(os.path.join(out, "stats.json")))
+    assert rec["ppl_hist_bins"] == PPL_BIN_EDGES
+    assert sum(rec["ppl_hist"]) == 3_000        # every turn lands in a bin
+    assert len(rec["ppl_hist"]) == len(PPL_BIN_EDGES)
+    m = Manifest(out)
+    per_file = [m.read(s)["ppl_hist"] for s in m.done_stems()]
+    col_sums = [sum(col) for col in zip(*per_file)]
+    assert col_sums == rec["ppl_hist"]          # run hist == Σ file hists
+
+    out2 = str(tmp_path / "out2")
+    run_quality_job(input_dir, out2, replace(DEFAULT_CONFIG, num_partitions=4))
+    rec2 = json.load(open(os.path.join(out2, "stats.json")))
+    assert sum(rec2["ppl_hist"]) == 0           # ppl disabled → empty hist
