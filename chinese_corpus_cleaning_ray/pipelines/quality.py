@@ -77,15 +77,25 @@ def build_quality_pipeline(
         )
     if cfg.enable_clustering:
         # ``cluster_ref``: reference-corpus embeddings (ndarray or ray.put
-        # handle — broadcast once per node); None → packaged clean seed pool
-        ds = ds.map_batches(
-            ClusteringStage,
-            fn_constructor_kwargs={"cfg": cfg, "ref_embeddings": cluster_ref},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=resolve_pool(None, fraction=0.25),
-            num_cpus=1,
-        )
+        # handle — broadcast once per node); None → packaged clean seed pool,
+        # which is cheap enough for a per-worker-cached task stage
+        if cluster_ref is None:
+            from chinese_corpus_cleaning_ray.stages.quality_stages import make_clustering_fn
+
+            ds = ds.map_batches(
+                make_clustering_fn(cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        else:
+            ds = ds.map_batches(
+                ClusteringStage,
+                fn_constructor_kwargs={"cfg": cfg, "ref_embeddings": cluster_ref},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=resolve_pool(None, fraction=0.25),
+                num_cpus=1,
+            )
     ds = ds.map_batches(make_score_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     return ds
 

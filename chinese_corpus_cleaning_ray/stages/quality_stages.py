@@ -228,6 +228,26 @@ class ClusteringStage:
         return batch
 
 
+_CLUSTER_STAGE_CACHE: dict = {}
+
+
+def make_clustering_fn(cfg: PipelineConfig):
+    """Task-stage variant of ClusteringStage for the PACKAGED seed-pool
+    reference corpus (small matrix, ~ms to build): per-worker cache, no pool
+    spin-up. Injected reference embeddings (potentially large, or a real HF
+    embedder) stay on the actor-pool path in ``build_quality_pipeline``."""
+    key = cfg.config_hash()
+
+    def clustering(batch: pa.Table) -> pa.Table:
+        stage = _CLUSTER_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = ClusteringStage(cfg, None)
+            _CLUSTER_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return clustering
+
+
 def make_score_fn(cfg: PipelineConfig):
     """Composite quality score + keep decision, vectorized.
 
