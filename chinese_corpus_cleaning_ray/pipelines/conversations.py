@@ -145,6 +145,13 @@ def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     cumsum), no per-user Python."""
     import pyarrow.compute as pc
 
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(
+            f"shards must be a power of two (shard = user_id & (shards-1)); "
+            f"got {shards} — a non-power-of-two silently skews the shard "
+            "distribution (some shard values can never occur)."
+        )
+
     def add_shard(batch: pa.Table) -> pa.Table:
         # shards must be a power of two: shard = user_id & (shards-1)
         col = batch.column("user_id")

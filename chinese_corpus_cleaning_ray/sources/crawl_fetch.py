@@ -25,6 +25,14 @@ def _requests_fetcher(url: str, start: int):  # pragma: no cover - needs network
 
     headers = {"Range": f"bytes={start}-"} if start > 0 else {}
     resp = requests.get(url, headers=headers, stream=True, timeout=60)
+    if resp.status_code == 416:
+        # Range not satisfiable: the local file already spans the whole
+        # resource (we asked for bytes past the end) — report total == start
+        # so download_resumable's completeness check treats it as a no-op
+        # instead of raising. Content-Range on a 416 is "bytes */<total>".
+        cr = resp.headers.get("Content-Range", "")
+        total = int(cr.split("/")[-1]) if "/" in cr and cr.split("/")[-1].isdigit() else start
+        return total, iter(())
     resp.raise_for_status()
     total = int(resp.headers.get("Content-Length", 0))
     if "Content-Range" in resp.headers:  # ref:download_warcfile.py:31-33
@@ -65,8 +73,16 @@ def download_many(urls: list[str], output_dir: str, fetcher: Fetcher | None = No
 
     @ray.remote(num_cpus=0.25)
     def _one(url: str) -> dict:
-        return download_resumable(
-            url, os.path.join(output_dir, os.path.basename(url)), fetcher)
+        # per-URL containment (ref:download_warcfile.py wraps each URL in
+        # try/except and continues): one failed archive must not abort the
+        # whole fan-out through ray.get
+        try:
+            return download_resumable(
+                url, os.path.join(output_dir, os.path.basename(url)), fetcher)
+        except Exception as e:  # noqa: BLE001 - report, don't kill the batch
+            return {"url": url, "path": os.path.join(output_dir, os.path.basename(url)),
+                    "bytes": 0, "resumed_from": 0, "complete": False,
+                    "error": f"{type(e).__name__}: {e}"}
 
     pending, results = [], []
     for url in urls:

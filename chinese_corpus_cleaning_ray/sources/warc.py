@@ -122,12 +122,18 @@ def write_warc_records(rows: list[dict], out_path: str, gzip_output: bool = True
     (tmp-then-rename). Returns the record count."""
     import os
 
-    data = b"".join(
+    records = [
         build_warc_record(r.get("target_uri", ""), r.get("payload", b""),
                           r.get("record_id", "")) for r in rows
-    )
+    ]
     if gzip_output:
-        data = gzip.compress(data)
+        # one gzip member PER RECORD (concatenated members), the .warc.gz
+        # wire format warcio and CommonCrawl tooling expect — a per-record
+        # seek can start at any member boundary. gzip.GzipFile reads across
+        # members, so our own read path is unchanged.
+        data = b"".join(gzip.compress(rec) for rec in records)
+    else:
+        data = b"".join(records)
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -153,10 +159,15 @@ def subsample_warc(paths, out_dir: str, keep_fn, gzip_output: bool = True):
     files = _read_binary(paths)
 
     def process(row: dict) -> list[dict]:
+        import hashlib
+
         rows = parse_warc_bytes(row["bytes"], row["path"])
         mask = keep_fn([r["payload"] for r in rows]) if rows else []
         kept = [r for r, m in zip(rows, mask) if m]
-        stem = os.path.basename(row["path"]).split(".")[0]
+        # short full-path hash in the stem: two shards with the same basename
+        # in different directories must not overwrite each other's output
+        path_tag = hashlib.sha1(row["path"].encode()).hexdigest()[:8]
+        stem = f'{os.path.basename(row["path"]).split(".")[0]}-{path_tag}'
         suffix = ".warc.gz" if gzip_output else ".warc"
         if kept:
             write_warc_records(kept, os.path.join(out_dir, f"{stem}-sub{suffix}"),

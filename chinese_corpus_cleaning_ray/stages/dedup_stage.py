@@ -44,6 +44,159 @@ from chinese_corpus_cleaning_ray.functions.dedup import (
 )
 
 
+def _pow2_shards(n_rows: int, target_rows: int, lo: int = 64,
+                 hi: int = 65536) -> int:
+    """Power-of-two shard count sized so ~``target_rows`` input rows land in
+    each shard (clamped). Outputs of every dedup are shard-count-invariant
+    (all copies of a key share a shard at any count), so this is purely a
+    memory knob — at 100× data the shard count grows 100×, per-shard memory
+    stays flat."""
+    want = max(1, (max(n_rows, 1) + target_rows - 1) // target_rows)
+    return int(min(hi, max(lo, 1 << int(np.ceil(np.log2(want))))))
+
+
+def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
+                broadcast_limit: int = 2_000_000):
+    """Shared ending for every dedup: remove rows of ``ds`` whose ``id_col``
+    appears in ``dup_ids_ds`` (a one-column Dataset of duplicate ids, possibly
+    with repeats and possibly containing the schema-less empty blocks a
+    ``map_groups`` shuffle emits).
+
+    ``strategy="auto"`` (default) materializes the dup-id set (tiny relative
+    to the corpus) and lets its COUNT choose the side: ≤ ``broadcast_limit``
+    distinct-ish ids → driver collect + ``ray.put`` broadcast; above it → a
+    fully distributed hash anti-join so the driver never holds the set (the
+    100-TB safety valve — a 30% dup rate on 10^12 rows is billions of keys).
+    ``"broadcast"`` / ``"join"`` force a side.
+
+    Returns ``(filtered_ds, dup_ids)`` where ``dup_ids`` is a sorted list on
+    the broadcast path or the materialized dup-id Dataset on the join path.
+    """
+    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
+
+    if strategy in ("auto", "join"):
+        # materialize the dup-id set (distributed blocks, NOT a driver
+        # collect — it stays in the object store) so we can count it: auto
+        # uses the count to choose a side, and the join path needs an
+        # explicit empty-set guard — an all-empty map_groups output feeds the
+        # Count aggregate a schema-less block that breaks the join's key
+        # resolution.
+        dup_ids_ds = dup_ids_ds.materialize()
+        n_dups = dup_ids_ds.count()
+        if strategy == "auto":
+            strategy = "broadcast" if n_dups <= broadcast_limit else "join"
+        if strategy == "join" and n_dups == 0:
+            return ds, dup_ids_ds
+
+    if strategy == "join":
+        # fully-distributed hash anti-join WITHOUT Dataset.join: Ray 2.49's
+        # hash-shuffle join builds a zero-column table for any partition
+        # whose right side received no rows, and the pyarrow join then fails
+        # key resolution ("No match ... for key field reference") — a sparse
+        # dup-id set (the common case) trips it almost surely. Instead, both
+        # sides are tagged with the SAME hash shard of the id, unioned (a
+        # lazy block concat, no shuffle), and one coarse-shard groupby drops
+        # corpus rows whose id appears among the co-sharded dup rows —
+        # vectorized pandas per shard, per-shard memory = corpus/P + dups/P,
+        # nothing ever on the driver.
+        import ray
+        from ray.data import from_arrow_refs
+
+        # normalize the dup-id blocks first: the upstream map_groups shuffle
+        # emits schema-less empty blocks for rowless partitions, and
+        # map_batches would skip (not repair) them — rewrite every block to
+        # a one-column arrow table in a Ray task (refs only, no driver pull).
+        @ray.remote
+        def _norm_block(tbl: pa.Table, col: str) -> pa.Table:
+            if tbl.num_columns == 0:
+                return None  # resolved to a skippable empty below
+            return tbl.select([col])
+
+        norm_refs = [_norm_block.remote(r, id_col)
+                     for r in dup_ids_ds.to_arrow_refs()]
+        keep_refs = [r for r, v in zip(norm_refs, ray.get(norm_refs))
+                     if v is not None]
+        # NB: ray.get above fetches only to CHECK None-ness; blocks are tiny
+        # relative to the corpus (they are the dup-id set) and stay in the
+        # object store for from_arrow_refs. At least one block is non-empty
+        # because n_dups > 0.
+        dup_clean = from_arrow_refs(keep_refs)
+
+        shards = max(8, cluster_cpus())
+
+        def _shard_of(ids: pd.Series) -> np.ndarray:
+            h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+            return (h % np.uint64(shards)).astype(np.int32)
+
+        def tag_left(batch: pa.Table) -> pa.Table:
+            s = _shard_of(batch.column(id_col).to_pandas())
+            return batch.append_column(
+                "__shard", pa.array(s)
+            ).append_column(
+                "__is_dup", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+            )
+
+        tagged_left = ds.map_batches(tag_left, batch_format="pyarrow")
+        sch = tagged_left.schema().base_schema
+
+        def tag_right(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).cast(sch.field(id_col).type)
+            n = len(ids)
+            cols = []
+            for f in sch:
+                if f.name == id_col:
+                    cols.append(ids)
+                elif f.name == "__shard":
+                    cols.append(pa.array(_shard_of(ids.to_pandas())))
+                elif f.name == "__is_dup":
+                    cols.append(pa.array(np.ones(n, dtype=np.int8)))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=sch)
+
+        tagged_right = dup_clean.map_batches(tag_right, batch_format="pyarrow")
+
+        def anti(group: pd.DataFrame) -> pd.DataFrame:
+            is_dup = group["__is_dup"].to_numpy() == 1
+            dup_set = set(group.loc[is_dup, id_col])
+            keep = group.loc[~is_dup & ~group[id_col].isin(dup_set)]
+            return keep.drop(columns=["__shard", "__is_dup"])
+
+        out = (
+            tagged_left.union(tagged_right)
+            .groupby("__shard")
+            .map_groups(anti, batch_format="pandas")
+        )
+        return out, dup_ids_ds
+
+    # broadcast strategy: collect distinct dup ids (small by choice above),
+    # ship ONCE via ray.put, vectorized is_in filter per batch. NB:
+    # to_pandas, not take_all — row iteration over many small blocks costs
+    # ~0.5 ms/row; the columnar pull is ~100× faster.
+    dup_pdf = dup_ids_ds.to_pandas()
+    dup_ids = sorted(set(dup_pdf[id_col])) if len(dup_pdf) else []
+    if not dup_ids:
+        return ds, []
+    try:
+        import ray
+
+        dup_ref = ray.put(pa.array(dup_ids))
+    except Exception:
+        dup_ref = pa.array(dup_ids)
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dups = dup_ref
+        if isinstance(dups, _ray.ObjectRef):
+            dups = _ray.get(dups)
+        col = batch.column(id_col)
+        mask = pc.invert(pc.is_in(col, value_set=dups.cast(col.type)))
+        return batch.filter(mask)
+
+    return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_ids
+
+
 def make_row_key(batch: pa.Table) -> pa.Table:
     """Composite sortable key ``conv_id#turn_idx(zero-padded)`` for transcript
     tables — lexicographic order == (conv_id, turn_idx) order."""
@@ -61,15 +214,22 @@ def add_text_hash(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def exact_dedup(ds, id_col: str, text_col: str = "text", shards: int = 256):
+def exact_dedup(ds, id_col: str, text_col: str = "text",
+                shards: int | None = None,
+                target_docs_per_shard: int = 65536):
     """Keep the min-``id_col`` row per distinct text.
 
     Shuffle key is a COARSE shard of the 64-bit content hash, not the hash
     itself: ``groupby.map_groups`` pays ~0.3 ms of per-group Python overhead,
     so one group per distinct text is pathological (measured 20s for 80k
     groups). One group per shard + a vectorized pandas dedup inside is ~100×
-    cheaper. All copies of a text share its hash ⇒ share its shard. Size
-    ``shards`` so input/shards fits a worker (more shards at scale)."""
+    cheaper. All copies of a text share its hash ⇒ share its shard.
+    ``shards=None`` (default) sizes the power-of-two shard count from the
+    input row count (~``target_docs_per_shard`` rows per shard) so a shard
+    stays within worker memory at any corpus size; the output is
+    shard-count-invariant."""
+    if shards is None:
+        shards = _pow2_shards(ds.count(), target_docs_per_shard, lo=256)
     ds = add_text_hash(ds, text_col)
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -167,9 +327,7 @@ def minhash_dedup(
     metadata pass over the materialized dup-id set) and broadcasts them via
     ``ray.put`` when ≤ ``broadcast_limit``, else falls back to the distributed
     hash anti-join — nobody has to know about the knob for the 100-TB path to
-    stay safe. ``"broadcast"`` / ``"join"`` force a side."""
-    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
-
+    stay safe. ``"broadcast"`` / ``"join"`` force a side (see anti_filter)."""
     bands = ds.map_batches(
         make_minhash_bands_fn(id_col=id_col, text_col=text_col, num_perm=num_perm,
                               num_bands=num_bands, shingle_k=shingle_k, seed=seed),
@@ -196,59 +354,8 @@ def minhash_dedup(
         .groupby("shard")
         .map_groups(mark_dups, batch_format="pandas")
     )
-
-    if strategy == "auto":
-        # the dup-id set is tiny relative to the corpus; materialize it once
-        # and let its size choose the filter side
-        dup_ids_ds = dup_ids_ds.materialize()
-        strategy = "broadcast" if dup_ids_ds.count() <= broadcast_limit else "join"
-
-    if strategy == "join":
-        # distributed anti-join: distinct dup ids + flag → left join → keep
-        # null flags. Distinct-with-flag is one vectorized Count aggregate
-        # (never per-distinct-id Python, and — unlike a map_groups distinct —
-        # it normalizes the empty schema-less blocks the band shuffle emits,
-        # which would otherwise break the join's key resolution).
-        from ray.data.aggregate import Count
-
-        marker = dup_ids_ds.groupby(id_col).aggregate(Count(alias_name="__dup"))
-        joined = ds.join(
-            marker,
-            join_type="left_outer",
-            num_partitions=max(8, cluster_cpus()),
-            on=(id_col,),
-            right_suffix="_dup",
-        )
-
-        def keep_nondup(batch: pa.Table) -> pa.Table:
-            mask = pc.is_null(batch.column("__dup"))
-            return batch.filter(mask).drop_columns(["__dup"])
-
-        return joined.map_batches(keep_nondup, batch_format="pyarrow"), dup_ids_ds
-
-    # broadcast strategy: collect distinct dup ids (assumed small), filter
-    # inline. NB: to_pandas, not take_all — row iteration over many small
-    # blocks costs ~0.5 ms/row; the columnar pull is ~100× faster.
-    dup_ids = sorted(set(dup_ids_ds.to_pandas()[id_col]))
-    if not dup_ids:
-        return ds, []
-    try:
-        import ray
-
-        dup_ref = ray.put(frozenset(dup_ids))
-    except Exception:
-        dup_ref = frozenset(dup_ids)
-
-    def drop_dups(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dups = dup_ref
-        if isinstance(dups, _ray.ObjectRef):
-            dups = _ray.get(dups)
-        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_ids
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)
 
 
 def simhash_mark(ds, text_col: str = "text", k: int = 3):
@@ -265,8 +372,10 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> l
 
 
 def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.8, shards: int = 256,
-                        max_df: int | None = 128):
+                        threshold: float = 0.8, shards: int | None = None,
+                        max_df: int | None = 128, strategy: str = "auto",
+                        broadcast_limit: int = 2_000_000,
+                        target_docs_per_shard: int = 4096):
     """EXACT n-gram Jaccard dedup: a row is a duplicate iff ANY smaller-id row
     shares Jaccard ≥ threshold over distinct character k-grams. Unlike
     MinHash/SimHash this is oracle-checkable (the same semantics are plain
@@ -288,8 +397,15 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
        list lives in ONE shard, so the df cap is an exact local filter;
        a vectorized pandas self-merge emits partial pair-intersections.
     3. groupby coarse shard of the (ia, ib) pair; sum partial intersections,
-       keep pairs with inter/(na+nb-inter) ≥ threshold, collect the distinct
-       larger ids (≪ corpus) and anti-filter via broadcast."""
+       keep pairs with inter/(na+nb-inter) ≥ threshold, anti-filter the
+       distinct larger ids via the shared ``anti_filter`` ending (auto
+       broadcast-vs-join, so the driver never holds an unbounded dup set).
+
+    ``shards=None`` (default) sizes the power-of-two shard count from the
+    input row count (~``target_docs_per_shard`` docs per shard), so per-shard
+    memory stays flat as the corpus grows."""
+    if shards is None:
+        shards = _pow2_shards(ds.count(), target_docs_per_shard)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -348,31 +464,18 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
         .groupby("shard")
         .map_groups(pair_partials, batch_format="pandas")
     )
-    dup_df = (
+    dup_ids_ds = (
         pair_rows.map_batches(add_pair_shard, batch_format="pandas")
         .groupby("pshard")
         .map_groups(dup_ids_of, batch_format="pandas")
-        .to_pandas()
     )
-    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
-    if not dup_ids:
-        return ds, []
-    import ray
-
-    dup_ref = ray.put(frozenset(dup_ids))
-
-    def drop(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dups = _ray.get(dup_ref)
-        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)
 
 
 def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
-                  max_hamming: int = 3, shards: int = 256):
+                  max_hamming: int = 3, shards: int = 256,
+                  strategy: str = "auto", broadcast_limit: int = 2_000_000):
     """Near-dup removal via 64-bit SimHash with 4×16-bit band blocking.
 
     Two texts within Hamming distance ≤ 3 of each other share at least one of
@@ -380,6 +483,16 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
     pairs; candidates are verified by exact Hamming distance and every
     non-minimal member of a verified pair is dropped (keep-first by id).
     Same coarse-shard grouping discipline as minhash_dedup.
+
+    Low-entropy guard: boilerplate corpora collapse many texts onto few
+    simhash values, making band buckets huge. Each bucket therefore first
+    collapses IDENTICAL simhash values (vectorized first-occurrence; distance
+    0 ≤ max_hamming, so every non-first row of a value is a duplicate by
+    definition), then runs the O(d²) pairwise Hamming scan over the DISTINCT
+    values only — 100k copies of one template cost one dedup pass, not 10^10
+    popcounts. Equivalent to the row-level rule "dup iff ANY earlier row is
+    within max_hamming" because rows are id-sorted, so a value's first
+    occurrence is its min id.
     """
     from chinese_corpus_cleaning_ray.functions.dedup import simhash64
 
@@ -410,9 +523,10 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
 
     def mark(group: pd.DataFrame) -> pd.DataFrame:
         """Within each (band_id, band_val) bucket (id-sorted), a row is a
-        duplicate iff ANY earlier row is within max_hamming. The Hamming test
-        is a numpy-broadcast XOR + SWAR popcount, chunked so the pairwise
-        matrix never exceeds ~4M cells regardless of bucket population."""
+        duplicate iff ANY earlier row is within max_hamming. Identical
+        simhash values are collapsed first (see docstring); the chunked
+        numpy-broadcast XOR + SWAR-popcount scan then runs over distinct
+        values only, its pairwise matrix capped at ~4M cells."""
         from chinese_corpus_cleaning_ray.functions.dedup import popcount64
 
         g = group.sort_values(["band_id", "band_val", id_col], kind="mergesort")
@@ -430,13 +544,31 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
             b = e - s
             if b <= 1:
                 continue
-            v = sims_u[s:e]
-            chunk = max(1, 4_000_000 // b)
-            for c0 in range(1, b, chunk):
-                c1 = min(c0 + chunk, b)
+            # collapse identical values: first occurrence (min id, rows are
+            # id-sorted) survives, the rest are dups at distance 0
+            vals, first_idx, inv = np.unique(
+                sims_u[s:e], return_index=True, return_inverse=True
+            )
+            dup_mask[s:e] |= np.arange(b) != first_idx[inv]
+            d_n = len(vals)
+            if d_n <= 1:
+                continue
+            # pairwise Hamming over DISTINCT values in min-id order: distinct
+            # value j is "covered" iff any earlier-min-id distinct value is
+            # within max_hamming; then every row carrying a covered value
+            # (including its first occurrence) is a duplicate
+            order = np.argsort(first_idx, kind="stable")
+            v = vals[order]
+            covered_ord = np.zeros(d_n, dtype=bool)
+            chunk = max(1, 4_000_000 // d_n)
+            for c0 in range(1, d_n, chunk):
+                c1 = min(c0 + chunk, d_n)
                 d = popcount64(v[c0:c1, None] ^ v[None, :c1])  # (rows, c1)
                 tri = np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
-                dup_mask[s + c0 : s + c1] |= ((d <= max_hamming) & tri).any(axis=1)
+                covered_ord[c0:c1] |= ((d <= max_hamming) & tri).any(axis=1)
+            covered = np.empty(d_n, dtype=bool)
+            covered[order] = covered_ord
+            dup_mask[s:e] |= covered[inv]
         if not dup_mask.any():
             return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
         return pd.DataFrame({id_col: pd.unique(g[id_col].to_numpy()[dup_mask])})
@@ -446,19 +578,5 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
         .groupby("shard")
         .map_groups(mark, batch_format="pandas")
     )
-    dup_df = dup_ids_ds.to_pandas()
-    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
-    if not dup_ids:
-        return ds, []
-    import ray
-
-    dup_ref = ray.put(frozenset(dup_ids))
-
-    def drop(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dups = _ray.get(dup_ref)
-        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)

@@ -91,6 +91,16 @@ class BruteKnnStage:
 _KNN_STAGE_CACHE: dict = {}
 
 
+def _cache_put(cache: dict, key, value, cap: int = 4):
+    """Insert into a per-worker-process cache, evicting oldest entries beyond
+    ``cap`` — long-lived Ray workers serve many queries; an unbounded cache
+    would leak one normalized query matrix (or plane matrix) per call."""
+    cache[key] = value
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
+    return value
+
+
 def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
               vec_col: str = "embedding", concurrency=8):
     """Exact cosine top-k for each query row of ``queries`` (Q, d).
@@ -112,8 +122,10 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     def score_batch(batch: pa.Table) -> pa.Table:
         stage = _KNN_STAGE_CACHE.get(cache_key)
         if stage is None:
-            stage = BruteKnnStage(q_ref, k=k, id_col=id_col, vec_col=vec_col)
-            _KNN_STAGE_CACHE[cache_key] = stage
+            stage = _cache_put(
+                _KNN_STAGE_CACHE, cache_key,
+                BruteKnnStage(q_ref, k=k, id_col=id_col, vec_col=vec_col),
+            )
         return stage(batch)
 
     candidates = ds.map_batches(score_batch, batch_format="pyarrow")
@@ -126,9 +138,20 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     return candidates.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+_PLANES_CACHE: dict = {}
+
+
 def lsh_planes(d: int, nbits: int = 6, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((nbits, d))
+    """Deterministic random-hyperplane matrix, cached per worker process —
+    hot map_batches stages (embedding_dedup's add_bucket) call this per
+    batch; regeneration is cheap at d=64 but it's still per-batch state
+    setup in a hot loop, so memoize (cap keeps long-lived workers bounded)."""
+    key = (d, nbits, seed)
+    planes = _PLANES_CACHE.get(key)
+    if planes is None:
+        rng = np.random.RandomState(seed)
+        planes = _cache_put(_PLANES_CACHE, key, rng.standard_normal((nbits, d)))
+    return planes
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -264,7 +287,8 @@ def knn_ivf_kmeans(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
 def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                     threshold: float = 0.85, nbits: int | None = None,
                     seed: int = 42, shards: int = 256,
-                    target_bucket_rows: int = 128):
+                    target_bucket_rows: int = 128, strategy: str = "auto",
+                    broadcast_limit: int = 2_000_000):
     """Embedding-cosine near-dup removal — the distributed re-expression of the
     reference's check_duplicate (max cosine vs corpus ≥ 0.85 → duplicate,
     ref:utils/clustering.py:169-185) without the O(n²) matrix:
@@ -313,24 +337,12 @@ def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                 dup_mask[s:e] = _bucket_keeper_dups(m[s:e], threshold)
         return t.select([id_col]).filter(pa.array(dup_mask))
 
-    dup_df = (
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import anti_filter
+
+    dup_ids_ds = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(mark, batch_format="pyarrow")
-        .to_pandas()
     )
-    dup_ids = sorted(set(dup_df[id_col])) if len(dup_df) else []
-    if not dup_ids:
-        return ds, []
-    import ray
-
-    dup_ref = ray.put(frozenset(dup_ids))
-
-    def drop(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dups = _ray.get(dup_ref)
-        mask = [v not in dups for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(drop, batch_format="pyarrow"), dup_ids
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)

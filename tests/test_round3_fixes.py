@@ -1,0 +1,165 @@
+"""Round-3 hardening: unified anti-filter ending across all dedups,
+low-entropy simhash collapse, input-sized shard counts, cached LSH planes.
+"""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(n_clusters: int = 3, singles: int = 4):
+    base = [
+        "机器学习模型的训练过程需要大量高质量的数据支持数据清洗与预处理环节直接影响最终模型的效果",
+        "分布式计算框架通过将任务拆分到多个节点并行执行大幅提升了海量数据的处理效率容错机制保证稳定",
+        "自然语言处理技术在近年来取得了长足的进步预训练语言模型在多项任务上超越传统方法成为主流范式",
+    ][:n_clusters]
+    rows = []
+    rid = 0
+    for b in base:
+        for variant in [b, b + "补充", "按语" + b]:
+            rows.append({"doc_id": rid, "text": variant})
+            rid += 1
+    sing = [
+        "清晨的阳光洒在湖面上微风吹过泛起层层涟漪远处的山峦在薄雾里",
+        "图书馆新增了一批科技类藏书涵盖人工智能材料科学与生物工程领域",
+        "志愿者们利用周末时间清理河岸垃圾并向居民宣传环境保护知识要点",
+        "气象部门发布下周天气预报提醒市民注意防范强对流天气带来的影响",
+    ][:singles]
+    for s in sing:
+        rows.append({"doc_id": rid, "text": s})
+        rid += 1
+    return rows
+
+
+def test_simhash_join_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
+
+    base = "机器学习模型的训练过程需要大量高质量的数据支持数据清洗与预处理环节直接影响最终效果"
+    rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + "。"},
+            {"doc_id": 3, "text": "完全不同的另一段文字内容与上面毫无相似之处是独立的句子"},
+            {"doc_id": 4, "text": "清晨的阳光洒在湖面上微风吹过泛起层层涟漪远处山峦"}]
+    ds = rd.from_items(rows).repartition(3)
+    bc, _ = simhash_dedup(ds, id_col="doc_id", strategy="broadcast")
+    jn, _ = simhash_dedup(ds, id_col="doc_id", strategy="join")
+    a = sorted(bc.to_pandas()["doc_id"])
+    b = sorted(jn.to_pandas()["doc_id"])
+    assert a == b and 0 < len(a) < len(rows)
+
+
+def test_join_strategy_empty_dup_set(ray_session):
+    """Forced join with NO duplicates must not crash: an all-empty map_groups
+    output would feed the Count aggregate a schema-less block and break the
+    join's key resolution, so anti_filter early-returns on a zero count."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
+
+    rows = [{"doc_id": 0, "text": "完全不同的第一段文字内容与任何其他段落毫无相似之处"},
+            {"doc_id": 1, "text": "清晨的阳光洒在湖面上微风吹过泛起层层涟漪远处山峦"}]
+    jn, _ = simhash_dedup(rd.from_items(rows).repartition(2), id_col="doc_id",
+                          strategy="join")
+    assert sorted(jn.to_pandas()["doc_id"]) == [0, 1]
+
+
+def test_jaccard_join_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_dedup
+
+    rows = _docs_table()
+    ds = rd.from_items(rows).repartition(3)
+    bc, _ = ngram_jaccard_dedup(ds, id_col="doc_id", threshold=0.5,
+                                strategy="broadcast")
+    jn, _ = ngram_jaccard_dedup(ds, id_col="doc_id", threshold=0.5,
+                                strategy="join")
+    a = sorted(bc.to_pandas()["doc_id"])
+    b = sorted(jn.to_pandas()["doc_id"])
+    assert a == b and 0 < len(a) < len(rows)
+
+
+def test_embedding_join_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        for _ in range(3):  # 3 near-identical copies of each base vector
+            rows.append({"vec_id": vid,
+                         "embedding": list(v + rng.standard_normal(16) * 1e-4)})
+            vid += 1
+    ds = rd.from_items(rows).repartition(3)
+    bc, _ = embedding_dedup(ds, threshold=0.95, strategy="broadcast")
+    jn, _ = embedding_dedup(ds, threshold=0.95, strategy="join")
+    a = sorted(bc.to_pandas()["vec_id"])
+    b = sorted(jn.to_pandas()["vec_id"])
+    assert a == b == sorted(range(0, vid, 3))
+
+
+def test_simhash_low_entropy_corpus_fast(ray_session):
+    """100k copies of one template plus near-misses: the exact-value collapse
+    keeps the per-bucket pairwise scan at O(distinct²), so the job finishes in
+    seconds instead of 10^10 popcounts — with the same dup set (everything but
+    the min-id copy and any row outside the Hamming radius)."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import simhash_dedup
+
+    template = "尊敬的用户您好您的订单已经发货请注意查收物流信息如有疑问请联系客服感谢您的支持"
+    distinct_extras = [
+        "清晨的阳光洒在湖面上微风吹过泛起层层涟漪远处的山峦在薄雾里",
+        "图书馆新增了一批科技类藏书涵盖人工智能材料科学与生物工程领域",
+    ]
+    n_copies = 100_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_copies + len(distinct_extras)), pa.int64()),
+            "text": pa.array([template] * n_copies + distinct_extras),
+        }
+    )
+    t0 = time.monotonic()
+    deduped, _ = simhash_dedup(rd.from_arrow(tbl).repartition(8), id_col="doc_id")
+    kept = sorted(deduped.to_pandas()["doc_id"])
+    elapsed = time.monotonic() - t0
+    assert kept == [0, n_copies, n_copies + 1]
+    assert elapsed < 60, f"low-entropy simhash dedup took {elapsed:.1f}s"
+
+
+def test_pow2_shards_scales_with_input():
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import _pow2_shards
+
+    assert _pow2_shards(500, 4096) == 64          # clamped at the floor
+    assert _pow2_shards(1_000_000, 4096) == 256
+    assert _pow2_shards(100_000_000, 4096) == 32768
+    assert _pow2_shards(10**12, 4096) == 65536    # clamped at the ceiling
+    # always a power of two
+    for n in (1, 999, 12345, 10**7):
+        s = _pow2_shards(n, 4096)
+        assert s & (s - 1) == 0
+
+
+def test_lsh_planes_cached_per_process():
+    from chinese_corpus_cleaning_ray.stages.similarity import lsh_planes
+
+    a = lsh_planes(16, 6, seed=42)
+    b = lsh_planes(16, 6, seed=42)
+    assert a is b  # memoized, not regenerated per call
+    c = lsh_planes(16, 6, seed=43)
+    assert c is not a and not np.allclose(a, c)
+
+
+def test_worker_cache_capped():
+    from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
+
+    cache: dict = {}
+    for i in range(10):
+        _cache_put(cache, i, i, cap=4)
+    assert len(cache) == 4 and set(cache) == {6, 7, 8, 9}

@@ -57,9 +57,51 @@ def test_subsample_warc_single_pass(ray_session, tmp_path):
     assert counters["records_in"].sum() == 6
     assert counters["records_kept"].sum() == 3
     written = os.listdir(out_dir)
-    assert written == ["shard0-sub.warc.gz"]
+    assert len(written) == 1
+    # stem keeps the basename plus a short full-path hash (collision guard)
+    assert written[0].startswith("shard0-") and written[0].endswith("-sub.warc.gz")
     back = parse_warc_bytes(open(os.path.join(out_dir, written[0]), "rb").read(), "x")
     assert [r["target_uri"] for r in back] == [f"http://p{i}.example/" for i in (0, 2, 4)]
+
+
+def test_subsample_warc_same_basename_no_collision(ray_session, tmp_path):
+    """Two input shards with the SAME basename in different directories must
+    produce two distinct -sub outputs (path-hash in the stem)."""
+    from chinese_corpus_cleaning_ray.sources.warc import build_warc_record, subsample_warc
+
+    for d in ("a", "b"):
+        sub = tmp_path / d
+        sub.mkdir()
+        rec = build_warc_record(f"http://{d}.example/", "中文网页正文内容很长".encode(), f"<u:{d}>")
+        (sub / "shard.warc").write_bytes(rec)
+
+    out_dir = str(tmp_path / "sub")
+    counters = subsample_warc(
+        [str(tmp_path / "a" / "shard.warc"), str(tmp_path / "b" / "shard.warc")],
+        out_dir, lambda ps: [True] * len(ps), gzip_output=False,
+    ).to_pandas()
+    assert counters["records_kept"].sum() == 2
+    assert len(os.listdir(out_dir)) == 2  # no overwrite
+
+
+def test_warc_gz_one_member_per_record(tmp_path):
+    """.warc.gz output uses one gzip member per record (warcio wire format)."""
+    import zlib
+
+    from chinese_corpus_cleaning_ray.sources.warc import write_warc_records
+
+    rows = [{"record_id": f"<u:{i}>", "target_uri": f"http://m{i}.example/",
+             "payload": f"<html>正文 {i}</html>".encode()} for i in range(5)]
+    out = str(tmp_path / "members.warc.gz")
+    write_warc_records(rows, out)
+    data = open(out, "rb").read()
+    members = 0
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data)
+        members += 1
+        data = d.unused_data
+    assert members == 5
 
 
 class _FakeTransport:
@@ -111,6 +153,61 @@ def test_download_resumable_resumes_from_partial(tmp_path):
     t3 = _FakeTransport(blob)
     res2 = download_resumable("http://x/archive.warc.gz", path, t3)
     assert res2["complete"] and t3.bytes_shipped == 0
+
+
+def test_requests_fetcher_416_is_complete(tmp_path, monkeypatch):
+    """An already-complete file sends Range past EOF; the server answers 416
+    and the fetcher must report total == start (no-op) instead of raising."""
+    import sys
+    import types
+
+    class _Resp:
+        status_code = 416
+        headers = {"Content-Range": "bytes */333"}
+
+    fake = types.ModuleType("requests")
+    fake.get = lambda url, headers=None, stream=None, timeout=None: _Resp()
+    monkeypatch.setitem(sys.modules, "requests", fake)
+
+    from chinese_corpus_cleaning_ray.sources.crawl_fetch import download_resumable
+
+    path = str(tmp_path / "full.bin")
+    with open(path, "wb") as f:
+        f.write(b"x" * 333)
+    res = download_resumable("http://x/full.bin", path)  # default fetcher
+    assert res["complete"] and res["resumed_from"] == 333
+    assert os.path.getsize(path) == 333  # untouched
+
+
+def test_download_many_continues_on_error(ray_session, tmp_path):
+    """One failing archive must not abort the whole fan-out."""
+    from chinese_corpus_cleaning_ray.sources.crawl_fetch import download_many
+
+    blob = b"payload-bytes" * 10
+
+    def flaky(url: str, start: int):
+        if "bad" in url:
+            raise ConnectionError("boom")
+        return len(blob), iter([blob[start:]])
+
+    res = download_many(
+        ["http://x/ok1.warc", "http://x/bad.warc", "http://x/ok2.warc"],
+        str(tmp_path / "dl"), fetcher=flaky,
+    )
+    by_url = {r["url"]: r for r in res}
+    assert by_url["http://x/ok1.warc"]["complete"]
+    assert by_url["http://x/ok2.warc"]["complete"]
+    bad = by_url["http://x/bad.warc"]
+    assert not bad["complete"] and "ConnectionError" in bad["error"]
+
+
+def test_sessionize_rejects_non_pow2_shards(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import sessionize_events
+
+    with pytest.raises(ValueError, match="power of two"):
+        sessionize_events(rd.from_items([{"user_id": 1}]), shards=100)
 
 
 def test_url_to_filename_matches_reference_semantics():
