@@ -175,20 +175,26 @@ def _hardware_parallel_baseline(lo: int, hi: int) -> float:
 
 
 def run_scaling() -> dict:
-    """Same corpus + job at num_cpus=8 then 32, fresh processes."""
+    """Headline job at num_cpus=8 then 32 in fresh processes, on the SAME
+    corpus, for BOTH execution configurations, so the shipping default's own
+    ratio sits next to the scaling claim and can't be misread:
 
-    def run(ncpu: int) -> dict:
-        # scaling is measured on the actor-pool configuration (the production
-        # 43k-wordlist shape, raw 0.81-0.87). The default task-fused config is
-        # FASTER at both sizes (78k@8 / 170k@32 vs 40k@8 / 135k@32) but its
-        # single-box ratio reads 0.55: doubling small-cluster throughput slams
-        # the 32-CPU side into this box's shared memory-bandwidth ceiling —
-        # a penalty independent nodes don't pay. Both pairings in BASELINE.md.
-        # 4M-turn corpus by default: at 1M the 32-CPU side is fixed-cost
-        # dominated (11 s wall ≈ 4 s startup) and the ratio reads ~0.65
-        # regardless of the pipeline's real scaling behavior
+    - ``pool``  — actor-pool scrub stage (the production 43k-wordlist shape).
+      This is the configuration the ≥0.8 claim rests on (raw 0.81–0.87).
+    - ``fused`` — the task-fused default (CCC_FUSED_TASKS=1). FASTER at both
+      sizes (it doubles the 8-CPU side), but that slams the 32-CPU side into
+      this box's shared memory-bandwidth ceiling and the single-box ratio
+      reads ~0.55 — a penalty independent cluster nodes don't pay (the job
+      has zero cross-node exchange; per-node behavior is the fused 32-CPU
+      number).
+
+    4M-turn corpus by default: at 1M the 32-CPU side is fixed-cost dominated
+    (11 s wall ≈ 4 s startup) and the ratio reads ~0.65 regardless of the
+    pipeline's real scaling behavior."""
+
+    def run(ncpu: int, fused: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), CCC_BENCH_SCALING_CHILD="1",
-                   CCC_FUSED_TASKS="0",
+                   CCC_FUSED_TASKS="1" if fused else "0",
                    CCC_BENCH_TURNS=os.environ.get("CCC_BENCH_TURNS", "4000000"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -198,25 +204,32 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
     hw = _hardware_parallel_baseline(lo, hi)
+    configs: dict[str, dict] = {}
+    for name, fused in (("pool", False), ("fused", True)):
+        r_lo, r_hi = run(lo, fused), run(hi, fused)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        configs[name] = {
+            "sec_8": t_lo,
+            "sec_32": t_hi,
+            "turns_per_sec_8": r_lo["turns_per_sec"],
+            "turns_per_sec_32": r_hi["turns_per_sec"],
+            "efficiency_raw": round(eff, 3),
+            "efficiency_normalized_to_hardware": round(min(1.0, eff / hw), 3),
+        }
     return {
         "metric": "scaling_efficiency_filter_scrub",
-        "value": round(eff, 3),
+        # headline value = the claim configuration (pool); the default's own
+        # ratio is right beside it in configs["fused"]
+        "value": configs["pool"]["efficiency_raw"],
         "unit": "efficiency",
-        "config": "actor-pool stage (production-wordlist shape); the default "
-                  "task-fused config is faster at BOTH sizes but ratio-bound "
-                  "by single-box memory bandwidth — see BASELINE.md",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
-        "bench_turns": r_lo["bench_turns"],
+        "claim_config": "pool",
+        "default_config": "fused",
+        "configs": configs,
+        "bench_turns": int(os.environ.get("CCC_BENCH_TURNS", "4000000")),
         "cpu_ratio": hi / lo,
         "hardware_parallel_efficiency": round(hw, 3),
-        "efficiency_normalized_to_hardware": round(min(1.0, eff / hw), 3),
     }
 
 

@@ -118,6 +118,12 @@ class PerplexityScorer:
         self.model = model
         self.cfg = cfg or PerplexityConfig()
 
+    def _lm_ppl(self, text: str) -> float:
+        """Raw language-model perplexity of preprocessed text — the ONLY part
+        that differs between the n-gram path and the GPT-2 forward pass
+        (HFPerplexityScorer overrides this)."""
+        return self.model.perplexity(text)
+
     def calculate_perplexity(self, text: str) -> float:
         """ref:lmppl_perplexity.py:42-90: preprocess → segment-extract (>500
         chars) → LM ppl capped at max_ppl → spam bump max(ppl·1.5, thr·1.2)."""
@@ -127,7 +133,7 @@ class PerplexityScorer:
             text = extract_meaningful_segments(text, 500)  # ref::55-57
         if not text:
             return cfg.max_ppl  # reference returns max_ppl on any scoring error
-        ppl = min(self.model.perplexity(text), cfg.max_ppl)  # ref::80
+        ppl = min(self._lm_ppl(text), cfg.max_ppl)  # ref::80
         if has_spam_patterns(text):
             ppl = max(ppl * 1.5, cfg.ppl_threshold * 1.2)  # ref::83-85
         return ppl
@@ -155,3 +161,48 @@ class PerplexityScorer:
         else:
             base = max(0.0, 1.0 - (ppl - cfg.ppl_threshold / 2) / (cfg.max_ppl - cfg.ppl_threshold / 2))
         return base * (0.5 if spam else 1.0)
+
+
+class HFPerplexityScorer(PerplexityScorer):  # pragma: no cover - env-gated
+    """GPT-2 forward-pass perplexity (exp(loss) over the causal-LM loss —
+    ref:lmppl_perplexity.py:26-90) with the SAME M17/M18 preprocessing and
+    A6 check/score formulas as the n-gram path (inherited unchanged: only
+    ``_lm_ppl`` differs). Gated behind an import-try like stages.embed's
+    HFEmbedder: when torch+transformers are installed this is the production
+    GPU path; default pipelines keep the deterministic n-gram scorer so
+    keep/drop labels never move — inject on GPU clusters via
+    ``PplStage(cfg, scorer_factory=lambda: HFPerplexityScorer(cfg.perplexity))``.
+    """
+
+    def __init__(self, cfg: PerplexityConfig | None = None,
+                 model_name: str = "uer/gpt2-chinese-cluecorpussmall",
+                 max_length: int = 512, device: str | None = None):
+        try:
+            import torch
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+        except ImportError as e:
+            raise NotImplementedError(
+                "HF perplexity requires torch+transformers (absent here); "
+                "use the default n-gram PerplexityScorer or inject any "
+                "object with check_perplexity/get_perplexity_score"
+            ) from e
+        self.cfg = cfg or PerplexityConfig()
+        self.model = None  # no n-gram model on this path
+        self._torch = torch
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.lm = AutoModelForCausalLM.from_pretrained(model_name).to(self.device).eval()
+        self.max_length = max_length
+
+    def _lm_ppl(self, text: str) -> float:
+        # ref:lmppl_perplexity.py:60-80 — encode, labels = input_ids,
+        # perplexity = exp(loss); OverflowError → max_ppl
+        enc = self.tokenizer(text, return_tensors="pt", truncation=True,
+                             max_length=self.max_length).to(self.device)
+        ids = enc["input_ids"]
+        with self._torch.no_grad():
+            out = self.lm(input_ids=ids, labels=ids.clone())
+        try:
+            return float(self._torch.exp(out.loss).item())
+        except OverflowError:
+            return self.cfg.max_ppl

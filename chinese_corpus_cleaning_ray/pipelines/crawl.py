@@ -66,3 +66,35 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None) -> dict:
     if n:
         ds.write_parquet(out_dir)
     return {"pages_kept": n, "out_dir": out_dir}
+
+
+def crawl_pages_to_transcripts(pages_path, out_dir: str, ts_epoch_us: int = 0) -> str:
+    """EP3 → EP1 hand-off adapter (the reference feeds convert_warc_to_htmls
+    output into the text_quality_filter driver, ref:Crawl_Page/test.py →
+    main.py): reshape crawl-page Parquet into the transcript schema the
+    quality job consumes — one single-turn 'conversation' per page:
+    (conv_id=record_id-or-uri, turn_idx=0, role='page', text=clean_text,
+    tool=target_uri, ts). Streaming map_batches + write_parquet; returns
+    ``out_dir``."""
+    import ray.data as rd
+
+    def reshape(batch: pa.Table) -> pa.Table:
+        rid = batch.column("record_id").to_pylist()
+        uri = batch.column("target_uri").to_pylist()
+        conv = [r or u for r, u in zip(rid, uri)]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+                "role": pa.array(["page"] * n, pa.string()),
+                "text": batch.column("clean_text").cast(pa.string()),
+                "tool": pa.array(uri, pa.string()),
+                "ts": pa.array([ts_epoch_us] * n, pa.timestamp("us")),
+            }
+        )
+
+    rd.read_parquet(pages_path).map_batches(
+        reshape, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    return out_dir

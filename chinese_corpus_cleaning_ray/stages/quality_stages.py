@@ -144,9 +144,20 @@ class PplStage:
 
     ``model_path`` → NgramModel.load; else the model trains on the packaged
     clean seed pool (deterministic, ~ms). Emits ppl + ppl_pass + ppl_score.
+
+    ``scorer_factory`` (optional) overrides the scorer entirely — e.g.
+    ``lambda: HFPerplexityScorer(cfg.perplexity)`` for the GPT-2 forward-pass
+    path on GPU clusters (ref:lmppl_perplexity.py:26-40 loads GPT-2 once per
+    process; here once per actor). Any object with check_perplexity /
+    get_perplexity_score works. Default stays the deterministic n-gram model
+    so keep/drop labels never move.
     """
 
-    def __init__(self, cfg: PipelineConfig, model_path: str | None = None):
+    def __init__(self, cfg: PipelineConfig, model_path: str | None = None,
+                 scorer_factory=None):
+        if scorer_factory is not None:
+            self.scorer = scorer_factory()
+            return
         if model_path:
             model = NgramModel.load(model_path)
         else:

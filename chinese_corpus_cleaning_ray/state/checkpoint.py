@@ -108,8 +108,13 @@ class Manifest:
             json.dump(record, f)
         os.replace(tmp, self._path(stem))
 
-    def clean_pieces_except(self, valid_stems: set[str]) -> int:
-        """Delete data pieces whose input stem is not committed (crash residue)."""
+    def clean_pieces_except(self, valid_stems: set[str],
+                            scope: set[str] | None = None) -> int:
+        """Delete data pieces whose input stem is not committed (crash
+        residue). ``scope=None`` → the job owns the whole output dir, any
+        unknown stem is residue. A non-None ``scope`` (multi-writer mode)
+        restricts cleanup to THIS writer's input stems so concurrent writers
+        on disjoint input sets never delete each other's in-flight pieces."""
         removed = 0
         if not os.path.isdir(self.data_dir):
             return 0
@@ -121,6 +126,8 @@ class Manifest:
                 if not f.endswith(".parquet"):
                     continue
                 stem = f.rsplit("-", 1)[0]  # <input-stem>-<uuid>.parquet
+                if scope is not None and stem not in scope:
+                    continue
                 if stem not in valid_stems:
                     os.remove(os.path.join(pdir, f))
                     removed += 1
@@ -285,11 +292,23 @@ def run_quality_job(
     resume: bool = True,
     words=None,
     checkpoint_every: int = 64,
+    exclusive: bool = True,
 ) -> dict:
     """Checkpointed flagship job: per-input-file resume, shuffle-free streaming
     write into hash(conv_id) partition directories, per-file manifests with
     per-partition lineage counters. Idempotent; a crash loses ≤ one chunk of
-    ``checkpoint_every`` files."""
+    ``checkpoint_every`` files.
+
+    ``exclusive=True`` (default): this job owns the output dir — manifests
+    for stems outside its input set are stale (an input file was removed) and
+    get invalidated, and unknown pieces are crash residue and get deleted.
+    ``exclusive=False`` (multi-writer mode, the shape a real cluster
+    produces — several ``ray job submit`` drivers each given a disjoint
+    slice of the input, all committing into one output dir): manifests and
+    pieces for stems outside THIS writer's input set are left untouched, so
+    concurrent writers never clobber each other; commits interleave safely
+    because every manifest/piece/stats write is tmp-then-rename under a
+    stem-unique (or uuid-unique) name."""
     import ray.data as rd
 
     manifest = Manifest(output_dir)
@@ -307,7 +326,8 @@ def run_quality_job(
     done: set[str] = set()
     for stem in manifest.done_stems():
         if stem not in by_stem:
-            manifest.remove(stem)
+            if exclusive:
+                manifest.remove(stem)
             continue
         rec = manifest.read(stem)
         size = os.path.getsize(by_stem[stem])
@@ -316,7 +336,8 @@ def run_quality_job(
         else:
             done.add(stem)
 
-    pieces_cleaned = manifest.clean_pieces_except(done)
+    pieces_cleaned = manifest.clean_pieces_except(
+        done, scope=None if exclusive else set(by_stem))
     pending = [p for p in files if _stem(p) not in done]
 
     files_this_run = 0
@@ -436,7 +457,9 @@ def run_quality_job(
         "config_hash": cfg_hash,
         "completed_at": time.time(),
     }
-    tmp = os.path.join(output_dir, "stats.json.tmp")
+    # uuid-unique tmp name: concurrent multi-writer jobs must not truncate
+    # each other's in-flight tmp before the atomic rename
+    tmp = os.path.join(output_dir, f"stats.json.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(stats_record, f, indent=2)
     os.replace(tmp, os.path.join(output_dir, "stats.json"))

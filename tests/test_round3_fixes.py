@@ -156,6 +156,68 @@ def test_lsh_planes_cached_per_process():
     assert c is not a and not np.allclose(a, c)
 
 
+def test_hf_perplexity_scorer_gated():
+    """HFPerplexityScorer mirrors HFEmbedder: real path when torch+transformers
+    exist, clean NotImplementedError otherwise (this sandbox has neither)."""
+    from chinese_corpus_cleaning_ray.functions.ngram_lm import HFPerplexityScorer
+
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="torch"):
+            HFPerplexityScorer()
+        return
+    pytest.skip("torch available: construction would download a model")
+
+
+def test_ppl_stage_accepts_scorer_factory():
+    """PplStage(scorer_factory=...) routes every row through the injected
+    scorer — the hook the GPT-2 path plugs into."""
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.stages.quality_stages import PplStage
+
+    class StubScorer:
+        def check_perplexity(self, text):
+            return len(text) > 2, {"perplexity": float(len(text))}
+
+        def get_perplexity_score(self, text):
+            return 0.25
+
+    stage = PplStage(DEFAULT_CONFIG, scorer_factory=StubScorer)
+    batch = pa.table({"text": ["ab", "abcd", "一二三四五"]})
+    out = stage(batch)
+    assert out.column("ppl").to_pylist() == [2.0, 4.0, 5.0]
+    assert out.column("ppl_pass").to_pylist() == [False, True, True]
+    assert out.column("ppl_score").to_pylist() == [0.25, 0.25, 0.25]
+
+
+def test_hf_scorer_formulas_shared_with_ngram():
+    """The A6 check/score formulas live in ONE place: a scorer that only
+    overrides _lm_ppl gets identical downstream check/score behavior."""
+    from chinese_corpus_cleaning_ray.config import PerplexityConfig
+    from chinese_corpus_cleaning_ray.functions.ngram_lm import (
+        NgramModel,
+        PerplexityScorer,
+    )
+
+    cfg = PerplexityConfig()
+    model = NgramModel(n=2).train(["清晨的阳光洒在湖面上", "微风吹过泛起层层涟漪"])
+    base = PerplexityScorer(model, cfg)
+
+    class FixedPpl(PerplexityScorer):
+        def _lm_ppl(self, text):
+            return 42.0
+
+    fixed = FixedPpl(model, cfg)
+    text = "清晨的阳光洒在湖面上微风吹过"
+    assert fixed.calculate_perplexity(text) == 42.0
+    # base still uses the n-gram model through the same hook
+    assert base.calculate_perplexity(text) == min(model.perplexity(text), cfg.max_ppl)
+    ok, details = fixed.check_perplexity(text)
+    assert ok and details["perplexity"] == 42.0
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
