@@ -607,6 +607,19 @@ def _q_emb_cosine_dedup(sf_dir: str):
     )
 
 
+def _q_emb_dbscan_clusters(sf_dir: str):
+    """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
+    LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
+    blocking) — gated by the planted-cluster test in test_round3_fixes."""
+    from chinese_corpus_cleaning_ray.stages.similarity import dbscan_clusters
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dbscan_clusters(ds, threshold=0.95, min_samples=3)
+    return (
+        out.to_pandas().sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "agg_pricing_summary": _q_pricing_summary,
@@ -628,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_clustered": _q_doc_quality_clustered,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_cosine_dedup": _q_emb_cosine_dedup,
+        "emb_dbscan_clusters": _q_emb_dbscan_clusters,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,

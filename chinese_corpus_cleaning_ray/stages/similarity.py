@@ -284,6 +284,122 @@ def knn_ivf_kmeans(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     return knn_brute(filtered, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def dbscan_clusters(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                    threshold: float = 0.85, min_samples: int = 3,
+                    nbits: int | None = None, seed: int = 42,
+                    shards: int = 256, target_bucket_rows: int = 128,
+                    max_bucket_rows: int = 2048):
+    """The reference's offline DBSCAN corpus builder
+    (ref:text_quality_filter/utils/clustering.py:49-90: DBSCAN over a full
+    precomputed cosine-DISTANCE matrix, eps = 1 - similarity_threshold,
+    min_samples = min_cluster_size, noise label -1) re-expressed without the
+    O(n²) matrix: rows are LSH-bucketed by random-hyperplane signs (same
+    blocking as embedding_dedup — members of a tight cluster agree on all
+    sign bits w.h.p.), and EXACT DBSCAN runs per bucket: neighbor = cosine ≥
+    threshold (distance ≤ eps), core = ≥ min_samples neighbors including
+    itself, clusters = connected core components plus attached border
+    points. Approximation is the blocking only — clusters wider than one
+    bucket split (documented recall trade, like every banded dedup here).
+
+    Output: one row per input row, (id_col, cluster, is_core) where
+    ``cluster`` is the MIN member id of the cluster (stable, join-able) and
+    null for noise. Grouping is by a coarse shard of the bucket; in-bucket
+    work is vectorized numpy over ~target_bucket_rows rows. Degenerate
+    buckets (low-entropy corpora collapse many rows onto one bucket) are
+    processed in id-sorted slices of ``max_bucket_rows`` so the adjacency
+    matrix stays ≤ ~4M cells — clusters wider than a slice split (the same
+    documented recall trade as the bucket blocking itself)."""
+    if nbits is None:
+        n_rows = ds.count()
+        nbits = int(np.clip(np.ceil(np.log2(max(n_rows, 2) / target_bucket_rows)),
+                            4, 24))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        planes = lsh_planes(m.shape[1], nbits, seed)
+        buckets = _bucket_of(m, planes)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(buckets, pa.int32()),
+                "shard": pa.array((buckets % shards).astype(np.int32)),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        n = t.num_rows
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(t, vec_col))
+        id_type = t.schema.field(id_col).type
+        new_b = np.empty(n, dtype=bool)
+        new_b[0] = True
+        new_b[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(new_b)
+        ends = np.append(starts[1:], n)
+        out_cluster = np.full(n, None, dtype=object)
+        out_core = np.zeros(n, dtype=bool)
+        ranges = [(s, min(s + max_bucket_rows, e0))
+                  for s0, e0 in zip(starts, ends)
+                  for s in range(s0, e0, max_bucket_rows)]
+        for s, e in ranges:
+            b = e - s
+            if b < min_samples:
+                continue  # too small for any core point → all noise
+            v = m[s:e]
+            adj = (v @ v.T) >= threshold  # includes self (cos=1)
+            core = adj.sum(axis=1) >= min_samples
+            if not core.any():
+                continue
+            # connected components of the core subgraph by vectorized
+            # min-label propagation (converges in O(component diameter)
+            # rounds — near-dup clusters are near-cliques, so 1-2 rounds)
+            ci = np.flatnonzero(core)
+            adjc = adj[np.ix_(ci, ci)]
+            nc = len(ci)
+            lab = np.arange(nc)
+            while True:
+                new = np.where(adjc, lab[None, :], nc).min(axis=1)
+                new = np.minimum(new, lab)
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            roots = np.full(b, -1, dtype=np.int64)
+            roots[ci] = ci[lab]
+            # border points: non-core with ≥1 core neighbor join that core's
+            # cluster (first core neighbor, matching sklearn's assignment)
+            noncore = np.flatnonzero(~core)
+            if noncore.size:
+                adj_nc = adj[np.ix_(noncore, ci)]
+                has = adj_nc.any(axis=1)
+                first_core = ci[adj_nc.argmax(axis=1)]
+                roots[noncore[has]] = roots[first_core[has]]
+            member = roots >= 0
+            if member.any():
+                bucket_ids = ids[s:e]
+                mem_idx = np.flatnonzero(member)
+                min_id = pd.Series(bucket_ids[mem_idx]).groupby(
+                    roots[mem_idx]).transform("min").to_numpy()
+                view = out_cluster[s:e]
+                view[mem_idx] = min_id
+            out_core[s:e] = core
+        return pa.table(
+            {
+                id_col: pa.array(ids, id_type),
+                "cluster": pa.array(out_cluster.tolist(), id_type),
+                "is_core": pa.array(out_core),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+
+
 def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                     threshold: float = 0.85, nbits: int | None = None,
                     seed: int = 42, shards: int = 256,

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 import zlib
@@ -275,6 +276,16 @@ class FusedQualityWriteStage:
         return self.write(self.score(self.scrub(batch)))
 
 
+# Ray 2.49's read_parquet path probes `from fsspec.implementations.http
+# import HTTPFileSystem` on EVERY call (the failed import is never cached)
+# and catches only ModuleNotFoundError — under two concurrent driver THREADS
+# the loser of the import race sees a partially-initialized module and gets a
+# plain ImportError instead, which escapes and kills that writer. Serialize
+# dataset CREATION (metadata-only, microseconds) so threaded multi-writer
+# drivers can't trip it; execution itself stays fully concurrent.
+_READ_CREATE_LOCK = threading.Lock()
+
+
 def _list_input_files(input_path: str) -> list[str]:
     if os.path.isfile(input_path):
         return [input_path]
@@ -349,11 +360,12 @@ def run_quality_job(
         from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
 
         blocks_per_cpu = int(os.environ.get("CCC_BLOCKS_PER_CPU", "4"))
-        ds = rd.read_parquet(
-            chunk,
-            include_paths=True,
-            override_num_blocks=max(len(chunk), cluster_cpus() * blocks_per_cpu, 1),
-        )
+        with _READ_CREATE_LOCK:
+            ds = rd.read_parquet(
+                chunk,
+                include_paths=True,
+                override_num_blocks=max(len(chunk), cluster_cpus() * blocks_per_cpu, 1),
+            )
         ds = ds.map_batches(make_add_partition_fn(cfg.num_partitions), batch_format="pyarrow")
         fused = (not cfg.enable_perplexity and not cfg.enable_clustering
                  and os.environ.get("CCC_FUSED", "1") != "0")

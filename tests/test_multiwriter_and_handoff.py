@@ -50,6 +50,7 @@ def test_concurrent_disjoint_writers_one_output_dir(ray_session, split_input, tm
     out = str(tmp_path / "shared")
     results: dict[str, object] = {}
 
+
     def writer(name: str, input_dir: str):
         try:
             # checkpoint_every=1 → one manifest commit per file, maximally

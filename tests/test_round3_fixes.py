@@ -156,6 +156,49 @@ def test_lsh_planes_cached_per_process():
     assert c is not a and not np.allclose(a, c)
 
 
+def test_dbscan_clusters_planted(ray_session):
+    """LSH-blocked DBSCAN matches the reference's semantics on planted data:
+    groups of ≥ min_samples near-identical vectors form clusters labeled by
+    their min member id; pairs below min_samples and singletons are noise."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.similarity import dbscan_clusters
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    expected: dict[int, object] = {}
+    # two real clusters (4 and 3 members), one undersized pair, 5 singletons
+    for size in (4, 3, 2):
+        base = rng.standard_normal(16)
+        first = vid
+        for _ in range(size):
+            rows.append({"vec_id": vid,
+                         "embedding": list(base + rng.standard_normal(16) * 1e-4)})
+            expected[vid] = first if size >= 3 else None
+            vid += 1
+    for _ in range(5):
+        rows.append({"vec_id": vid, "embedding": list(rng.standard_normal(16))})
+        expected[vid] = None
+        vid += 1
+
+    out = dbscan_clusters(rd.from_items(rows).repartition(3), threshold=0.95,
+                          min_samples=3).to_pandas()
+    assert len(out) == vid  # one row per input row
+    got = {int(r.vec_id): (None if pd_isna(r.cluster) else int(r.cluster))
+           for r in out.itertuples()}
+    assert got == expected
+    # all members of a ≥3 cluster are core here (near-cliques)
+    core_ids = set(out.loc[out["is_core"], "vec_id"])
+    assert core_ids == {v for v, c in expected.items() if c is not None}
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
 def test_hf_perplexity_scorer_gated():
     """HFPerplexityScorer mirrors HFEmbedder: real path when torch+transformers
     exist, clean NotImplementedError otherwise (this sandbox has neither)."""
