@@ -18,6 +18,10 @@ ref:process_documents.py:86-161 ``process/...``):
         merge checkpoint piece files per (partition, input shard); crash-safe
     python -m chinese_corpus_cleaning_ray mergewords --lists F1 F2 ... --out F
         union+dedupe+sort word lists (ref merge_all_sensitive_words)
+    python -m chinese_corpus_cleaning_ray dbscan --input DIR --output DIR
+        offline DBSCAN corpus builder over an embedding column
+        (ref:utils/clustering.py:49-120; parquet of (id, cluster, is_core)
+        replaces the reference's driver-memory pickle)
 
 Owns the Ray session (guarded init) — the only place in the package that may
 call ray.init.
@@ -86,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--lists", nargs="+", required=True)
     mp.add_argument("--out", required=True)
 
+    dp = sub.add_parser("dbscan")
+    dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
+    dp.add_argument("--output", required=True)
+    dp.add_argument("--id-col", default="vec_id")
+    dp.add_argument("--vec-col", default="embedding")
+    dp.add_argument("--threshold", type=float, default=0.85)
+    dp.add_argument("--min-samples", type=int, default=3)
+    dp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -107,6 +120,33 @@ def main(argv: list[str] | None = None) -> int:
         n = merge_wordlists(args.lists, args.out)
         print(json.dumps({"out": args.out, "entries": n}))
         return 0
+
+    if args.cmd == "dbscan":
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.similarity import dbscan_clusters
+
+            import pyarrow as pa
+
+            ds = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
+            out = dbscan_clusters(ds, id_col=args.id_col, vec_col=args.vec_col,
+                                  threshold=args.threshold,
+                                  min_samples=args.min_samples).materialize()
+            n = out.count()
+            clustered = int(out.map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [t.num_rows - t.column("cluster").null_count], pa.int64())}),
+                batch_format="pyarrow",
+            ).sum("n") or 0)
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": n, "clustered": clustered,
+                              "noise": n - clustered, "out": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
 
     if args.cmd == "crawl":
         ray, owned = _ray_init(args.num_cpus)

@@ -199,6 +199,50 @@ def pd_isna(x):
     return pd.isna(x)
 
 
+def test_dbscan_cli(ray_session, tmp_path):
+    """`python -m chinese_corpus_cleaning_ray dbscan` writes the cluster
+    parquet (the scale-safe analogue of the reference's pickle save)."""
+    import json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from chinese_corpus_cleaning_ray.__main__ import main
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(16)
+    vecs = [list(base + rng.standard_normal(16) * 1e-4) for _ in range(4)]
+    vecs += [list(rng.standard_normal(16)) for _ in range(6)]
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({"vec_id": pa.array(range(10), pa.int64()),
+                             "embedding": pa.array(vecs)}), src)
+    out = str(tmp_path / "clusters")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["dbscan", "--input", src, "--output", out,
+                   "--threshold", "0.95", "--min-samples", "3"])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["rows"] == 10 and stats["clustered"] == 4 and stats["noise"] == 6
+    t = pads.dataset(out).to_table()
+    assert t.num_rows == 10 and set(t.column_names) >= {"vec_id", "cluster", "is_core"}
+
+
+def test_dbscan_undersized_input_all_noise(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.similarity import dbscan_clusters
+
+    rng = np.random.RandomState(2)
+    v = rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": list(v)} for i in range(2)]  # < min_samples
+    out = dbscan_clusters(rd.from_items(rows), min_samples=3).to_pandas()
+    assert len(out) == 2 and out["cluster"].isna().all() and not out["is_core"].any()
+
+
 def test_hf_perplexity_scorer_gated():
     """HFPerplexityScorer mirrors HFEmbedder: real path when torch+transformers
     exist, clean NotImplementedError otherwise (this sandbox has neither)."""
