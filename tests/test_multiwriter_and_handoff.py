@@ -80,6 +80,64 @@ def test_concurrent_disjoint_writers_one_output_dir(ray_session, split_input, tm
     assert ref.equals(_read_all_sorted(m.data_dir))
 
 
+_WRITER_CHILD = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR", object_store_memory=1_000_000_000)
+import ray.data
+ray.data.DataContext.get_current().enable_progress_bars = False
+from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+from dataclasses import replace
+cfg = replace(DEFAULT_CONFIG, num_partitions=8)
+stats = run_quality_job({inp!r}, {out!r}, cfg, checkpoint_every=1, exclusive=False)
+assert stats["files_this_run"] == 3, stats
+print("DONE", flush=True)
+ray.shutdown()
+"""
+
+
+def test_multiwriter_separate_processes(ray_session, split_input, tmp_path):
+    """The REAL multi-node shape: two separate driver PROCESSES (own Ray
+    sessions, as `ray job submit` would give each), disjoint input slices,
+    one shared output dir — interleaved commits, byte-equal to one run."""
+    import subprocess
+    import sys as _sys
+
+    from dataclasses import replace
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.state.checkpoint import Manifest, run_quality_job
+
+    full, a_dir, b_dir = split_input
+    cfg = replace(DEFAULT_CONFIG, num_partitions=8)
+    ref_out = str(tmp_path / "ref")
+    run_quality_job(full, ref_out, cfg)
+    ref = _read_all_sorted(Manifest(ref_out).data_dir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "procshared")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _WRITER_CHILD.format(repo=repo, inp=d, out=out)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=repo,
+        )
+        for d in (a_dir, b_dir)
+    ]
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=240)
+        assert p.returncode == 0, f"writer failed:\n{stderr[-2000:]}"
+        assert "DONE" in stdout
+
+    m = Manifest(out)
+    assert len(m.done_stems()) == 6
+    merged = _read_all_sorted(m.data_dir)
+    assert merged.num_rows == 6_000
+    assert ref.equals(merged), "process multi-writer output differs from single run"
+
+
 def test_nonexclusive_writer_leaves_foreign_state_alone(ray_session, split_input, tmp_path):
     """exclusive=False must not invalidate manifests/pieces for stems outside
     its own input slice (sequential version — deterministic check of the
