@@ -607,6 +607,25 @@ def _q_emb_cosine_dedup(sf_dir: str):
     )
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic LCG hash sample (bit-reproducible, SQL-oracled)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import sample_by_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        sample_by_hash(ds, "doc_id", pct=10).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+def _q_doc_top_ngrams(sf_dir: str):
+    """Top 5-grams by document frequency (partial-agg → shard top-k)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import top_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_ngrams(ds, top=20)
+
+
 def _q_emb_dbscan_clusters(sf_dir: str):
     """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
     LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
@@ -643,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup": _q_emb_cosine_dedup,
         "emb_dbscan_clusters": _q_emb_dbscan_clusters,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_sample": _q_doc_sample,
+        "doc_top_ngrams": _q_doc_top_ngrams,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -795,6 +816,26 @@ def oracle_sql() -> dict[str, str]:
         # tops out at 0.57 — 0.35 catches its real template near-dups). df ≤ 128 cap on
         # the intersection mirrors ngram_jaccard_dedup(max_df=128) verbatim
         # (ubiquitous shingles are excluded from inter, not from the counts).
+        # deterministic LCG hash sample — the identical integer arithmetic
+        # on both sides makes the sample bit-reproducible (resume-safe)
+        "doc_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 100 < 10
+            ORDER BY doc_id
+        """,
+        # top 5-grams by DOCUMENT frequency (distinct per doc), ties broken
+        # by gram ascending — mirrors stages/analysis.py:top_ngrams verbatim
+        "doc_top_ngrams": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents)
+            ),
+            freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g)
+            SELECT g, df FROM freq ORDER BY df DESC, g LIMIT 20
+        """,
         "doc_jaccard_dedup": """
             WITH sh AS (
                 SELECT DISTINCT doc_id, g FROM (

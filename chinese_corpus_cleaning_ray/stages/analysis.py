@@ -93,6 +93,79 @@ def segment_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def sample_by_hash(ds, id_col: str, pct: int = 10,
+                   mult: int = 1103515245, inc: int = 12345,
+                   mod: int = 2147483648):
+    """Deterministic hash sampling (§2.7 sampling — the reference's WARC
+    subsampler keeps a filtered subset per shard, ref:subsample_warc_warc.py;
+    here the general operator): keep a row iff
+    ``((id % mod) * mult + inc) % mod % 100 < pct``. A classic LCG step —
+    exactly expressible in SQL, so the sample is bit-reproducible across the
+    engine, the oracle, and reruns (resume-safe: the same row always makes
+    the same cut). Stateless vectorized filter; embarrassingly parallel; no
+    shuffle. For non-integer ids, hash them to int64 upstream first."""
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % mod) * mult + inc) % mod
+        return batch.filter(pa.array((h % 100) < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 5, top: int = 20, shards: int = 256):
+    """Corpus-wide top character-k-grams by DOCUMENT frequency (each doc
+    counts a gram once), the vocabulary/boilerplate profiling aggregate.
+
+    Plan (partial-aggregate before the shuffle, §2.5 discipline):
+    1. map_batches: per-doc distinct grams → per-BATCH partial counts
+       (g, n) — the shuffle moves gram counts, never gram instances.
+    2. groupby coarse shard of the gram; a gram's partials all land in one
+       shard, so per-shard sums are COMPLETE — each shard emits its own
+       top-``top`` only (vectorized pandas).
+    3. tiny driver-side merge of ≤ shards×top candidate rows → global top.
+    Ordering: df DESC, gram ASC (deterministic, matches the SQL oracle).
+
+    Returns a pandas DataFrame (g, df) — the result is top-k small by
+    construction; the heavy work stays distributed."""
+    import numpy as np
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for g in {t[i : i + k] for i in range(len(t) - k + 1)}:
+                counts[g] = counts.get(g, 0) + 1
+        grams = list(counts.keys())
+        h = (pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+             & (shards - 1)) if grams else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(grams, pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+                "shard": pa.array(h.astype(np.int32) if grams else [], pa.int32()),
+            }
+        )
+
+    def shard_top(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("g", sort=False)["n"].sum().reset_index(name="df")
+        return agg.sort_values(["df", "g"], ascending=[False, True],
+                               kind="mergesort").head(top)
+
+    cand = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_top, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(["df", "g"], ascending=[False, True],
+                           kind="mergesort").head(top).reset_index(drop=True)
+    return out.astype({"df": "int64"})
+
+
 def strip_html_text(html: str) -> str:
     """Scalar HTML→text (ref:tool.py:38-63 semantics): bs4 when available,
     regex tag stripper fallback. Row-local helper for task-side sinks; the

@@ -305,6 +305,45 @@ def test_hf_scorer_formulas_shared_with_ngram():
     assert ok and details["perplexity"] == 42.0
 
 
+def test_sample_by_hash_deterministic(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import sample_by_hash
+
+    rows = [{"doc_id": i, "text": f"t{i}"} for i in range(1000)]
+    ds = rd.from_items(rows).repartition(4)
+    a = sorted(sample_by_hash(ds, "doc_id", pct=10).to_pandas()["doc_id"])
+    b = sorted(sample_by_hash(ds, "doc_id", pct=10).to_pandas()["doc_id"])
+    assert a == b and 50 < len(a) < 200  # deterministic, ~10%
+    # the LCG matches plain-python integer arithmetic (the SQL oracle's math)
+    expect = [i for i in range(1000)
+              if ((i % 2147483648) * 1103515245 + 12345) % 2147483648 % 100 < 10]
+    assert a == expect
+    # pct=100 keeps everything, pct=0 keeps nothing
+    assert sample_by_hash(ds, "doc_id", pct=100).count() == 1000
+    assert sample_by_hash(ds, "doc_id", pct=0).count() == 0
+
+
+def test_top_ngrams_document_frequency(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import top_ngrams
+
+    common = "这是一段公共模板文字"
+    rows = [{"doc_id": i, "text": common + f"第{i}篇独立内容各不相同" * 2}
+            for i in range(10)]
+    rows.append({"doc_id": 99, "text": "完全无关的另一段文本内容"})
+    out = top_ngrams(rd.from_items(rows).repartition(3), top=5)
+    assert list(out.columns) == ["g", "df"]
+    assert out["df"].dtype == "int64"
+    # every gram of the shared template appears in all 10 template docs
+    assert out.iloc[0]["df"] == 10
+    # document frequency counts a doc once even when the gram repeats in it
+    repeated = top_ngrams(
+        rd.from_items([{"doc_id": 0, "text": "重复重复重复重复重复重复"}]), top=3)
+    assert (repeated["df"] == 1).all()
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
