@@ -626,6 +626,40 @@ def _q_doc_top_ngrams(sf_dir: str):
     return top_ngrams(ds, top=20)
 
 
+def _q_doc_contamination(sf_dir: str):
+    """Decontamination: docs ≥10 sharing ≥5 distinct 5-grams with the probe
+    set (docs <10). Probe shingles broadcast once; stateless scan."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from chinese_corpus_cleaning_ray.stages.analysis import contamination_check
+
+    probe = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") < 10
+    ).column("text").to_pylist()
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corpus_only(b):
+        return b.filter(pc.greater_equal(b.column("doc_id"), 10))
+
+    out = contamination_check(ds.map_batches(corpus_only, batch_format="pyarrow"),
+                              probe, min_overlap=5)
+    return (
+        out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.analysis import length_histogram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return (
+        length_histogram(ds, bucket=100).to_pandas()
+        .sort_values("bucket_lo", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_emb_dbscan_clusters(sf_dir: str):
     """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
     LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
@@ -664,6 +698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_sample": _q_doc_sample,
         "doc_top_ngrams": _q_doc_top_ngrams,
+        "doc_contamination": _q_doc_contamination,
+        "doc_length_histogram": _q_doc_length_histogram,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -835,6 +871,33 @@ def oracle_sql() -> dict[str, str]:
             ),
             freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g)
             SELECT g, df FROM freq ORDER BY df DESC, g LIMIT 20
+        """,
+        # decontamination: corpus docs (id ≥ 10) sharing ≥ 5 distinct
+        # 5-grams with the union of probe-doc (id < 10) shingles — mirrors
+        # stages/analysis.py:contamination_check verbatim
+        "doc_contamination": """
+            WITH probe AS (
+                SELECT DISTINCT g FROM (
+                    SELECT unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents WHERE doc_id < 10)
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents WHERE doc_id >= 10)
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+            FROM sh WHERE g IN (SELECT g FROM probe)
+            GROUP BY doc_id HAVING COUNT(*) >= 5
+            ORDER BY doc_id
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY bucket_lo
         """,
         "doc_jaccard_dedup": """
             WITH sh AS (

@@ -166,6 +166,89 @@ def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.astype({"df": "int64"})
 
 
+def contamination_check(ds, probe_texts: list[str], text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        min_overlap: int = 1):
+    """Test-set decontamination: flag corpus docs sharing ≥ ``min_overlap``
+    distinct character k-grams with ANY probe text (the union of probe
+    shingles). The standard pre-training hygiene op: probes = eval/test set,
+    output = (id, overlap) rows to drop or audit.
+
+    Scale shape: the probe shingle set is built ONCE on the driver (probe
+    sets are small by definition — an eval suite, not a corpus), shipped via
+    ``ray.put``, and each batch computes ``len(doc_grams & probe_set)`` with
+    C-speed set intersection — stateless map_batches, no shuffle. Exactly
+    SQL-expressible (distinct-shingle join), so it is oracle-checked."""
+    probe: set[str] = set()
+    for t in probe_texts:
+        probe.update(t[i : i + k] for i in range(len(t) - k + 1))
+    try:
+        import ray
+
+        probe_ref = ray.put(frozenset(probe))
+    except Exception:
+        probe_ref = frozenset(probe)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = probe_ref
+        if isinstance(p, _ray.ObjectRef):
+            p = _ray.get(p)
+        ids = batch.column(id_col)
+        overlaps = []
+        for t in batch.column(text_col).to_pylist():
+            grams = {t[i : i + k] for i in range(len(t) - k + 1)}
+            overlaps.append(len(grams & p))
+        import numpy as np
+
+        ov = np.asarray(overlaps, dtype=np.int64)
+        keep = ov >= min_overlap
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(keep)),
+                "overlap": pa.array(ov[keep]),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def length_histogram(ds, text_col: str = "text", bucket: int = 100):
+    """Corpus length profile: (bucket_lo, n_docs) — floor(len/bucket)*bucket.
+    Partial counts per batch → one tiny groupby over ≤ a few hundred bucket
+    keys. The shuffle moves bucket counts, never rows."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(batch.column(text_col)).to_numpy(zero_copy_only=False)
+        b = (lens // bucket) * bucket
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket_lo": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def total(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket_lo": [int(group["bucket_lo"].iloc[0])],
+                "n_docs": [int(group["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .map_groups(total, batch_format="pandas")
+    )
+
+
 def strip_html_text(html: str) -> str:
     """Scalar HTML→text (ref:tool.py:38-63 semantics): bs4 when available,
     regex tag stripper fallback. Row-local helper for task-side sinks; the

@@ -344,6 +344,39 @@ def test_top_ngrams_document_frequency(ray_session):
     assert (repeated["df"] == 1).all()
 
 
+def test_contamination_check(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import contamination_check
+
+    probe = ["这是测试集里的一段未公开文本内容请勿训练"]
+    rows = [
+        {"doc_id": 0, "text": "这是测试集里的一段未公开文本内容请勿训练加上少量噪音"},  # contaminated
+        {"doc_id": 1, "text": "完全独立的一段训练语料与测试集毫无重叠之处"},          # clean
+        {"doc_id": 2, "text": "部分重叠：未公开文本内容出现在这里但很短"},            # few grams
+    ]
+    out = contamination_check(rd.from_items(rows).repartition(2), probe,
+                              min_overlap=10).to_pandas()
+    assert list(out["doc_id"]) == [0]
+    assert out["overlap"].iloc[0] >= 15
+    # lower threshold also catches the partial overlap
+    out2 = contamination_check(rd.from_items(rows), probe, min_overlap=2).to_pandas()
+    assert sorted(out2["doc_id"]) == [0, 2]
+
+
+def test_length_histogram(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import length_histogram
+
+    rows = [{"doc_id": i, "text": "x" * n}
+            for i, n in enumerate([5, 50, 120, 150, 260])]
+    out = length_histogram(rd.from_items(rows).repartition(2), bucket=100)\
+        .to_pandas().sort_values("bucket_lo").reset_index(drop=True)
+    assert list(out["bucket_lo"]) == [0, 100, 200]
+    assert list(out["n_docs"]) == [2, 2, 1]
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
