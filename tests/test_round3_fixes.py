@@ -377,6 +377,42 @@ def test_length_histogram(ray_session):
     assert list(out["n_docs"]) == [2, 2, 1]
 
 
+@pytest.mark.parametrize("seed", [101, 202])
+def test_anti_filter_strategies_agree_random(ray_session, seed):
+    """Randomized corpora (planted dup families + noise): broadcast and join
+    endings must produce identical keep-sets for every dedup that shares
+    anti_filter — catches shard/partition edge cases fixed data can miss."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        minhash_dedup,
+        ngram_jaccard_dedup,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = list("的一是了我不人在他有这上们来到时大地为子中你说生国年着就")
+    rows = []
+    rid = 0
+    for _ in range(12):  # dup families: one base + 1-3 light variants
+        base = "".join(rng.choice(vocab, 60))
+        for v in range(rng.randint(2, 5)):
+            prefix = "".join(rng.choice(vocab, v))  # tiny edit
+            rows.append({"doc_id": rid, "text": prefix + base})
+            rid += 1
+    for _ in range(30):  # noise singletons
+        rows.append({"doc_id": rid, "text": "".join(rng.choice(vocab, 60))})
+        rid += 1
+    ds = rd.from_items(rows).repartition(5)
+
+    for fn, kw in ((minhash_dedup, {}), (ngram_jaccard_dedup, {"threshold": 0.6})):
+        bc, _ = fn(ds, id_col="doc_id", strategy="broadcast", **kw)
+        jn, _ = fn(ds, id_col="doc_id", strategy="join", **kw)
+        a = sorted(bc.to_pandas()["doc_id"])
+        b = sorted(jn.to_pandas()["doc_id"])
+        assert a == b, f"{fn.__name__} seed={seed}: strategies disagree"
+        assert 0 < len(a) < len(rows)
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
