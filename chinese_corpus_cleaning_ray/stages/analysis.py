@@ -116,7 +116,8 @@ def sample_by_hash(ds, id_col: str, pct: int = 10,
 
 
 def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
-               k: int = 5, top: int = 20, shards: int = 256):
+               k: int = 5, top: int = 20, shards: int | None = None,
+               target_docs_per_shard: int = 2048):
     """Corpus-wide top character-k-grams by DOCUMENT frequency (each doc
     counts a gram once), the vocabulary/boilerplate profiling aggregate.
 
@@ -130,9 +131,17 @@ def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
     Ordering: df DESC, gram ASC (deterministic, matches the SQL oracle).
 
     Returns a pandas DataFrame (g, df) — the result is top-k small by
-    construction; the heavy work stays distributed."""
+    construction; the heavy work stays distributed. ``shards=None`` sizes
+    the power-of-two shard count from the input row count
+    (~``target_docs_per_shard`` docs of gram-partials per shard) so
+    per-shard memory stays flat as the corpus grows."""
     import numpy as np
     import pandas as pd
+
+    if shards is None:
+        from chinese_corpus_cleaning_ray.stages.dedup_stage import _pow2_shards
+
+        shards = _pow2_shards(ds.count(), target_docs_per_shard)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
