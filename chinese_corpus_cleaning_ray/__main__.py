@@ -37,14 +37,22 @@ from dataclasses import replace
 
 def _ray_init(num_cpus: int | None):
     """Returns (ray, owned): ``owned`` is True iff WE initialized the session
-    — only then may we shut it down (never tear down a caller's session)."""
+    — only then may we shut it down (never tear down a caller's session).
+
+    Address comes from $RAY_ADDRESS (default "local"): under `ray job
+    submit` on a real cluster the env points at the running cluster and the
+    driver must join it, not start a private local one."""
+    import os
+
     import ray
 
     owned = not ray.is_initialized()
     if owned:
-        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
+        kwargs = dict(address=os.environ.get("RAY_ADDRESS", "local"),
+                      include_dashboard=False, ignore_reinit_error=True,
                       logging_level="ERROR")
-        if num_cpus:
+        if num_cpus and kwargs["address"] == "local":
+            # num_cpus is only meaningful when WE create the (local) cluster
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data
@@ -65,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--enable-ppl", action="store_true")
         sp.add_argument("--wordlist", default=None)
+        sp.add_argument("--shared-output", action="store_true",
+                        help="multi-writer mode: this driver owns only its own "
+                             "input slice of the output dir (exclusive=False); "
+                             "launch one driver per input slice, all pointed at "
+                             "the same --output")
 
     tp = sub.add_parser("train")
     tp.add_argument("--corpus", required=True, help="parquet dir with a text column")
@@ -190,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg = replace(cfg, enable_perplexity=True)
         words = load_words(args.wordlist) if args.wordlist else None
         stats = run_quality_job(args.input, args.output, cfg,
-                                resume=not args.no_resume, words=words)
+                                resume=not args.no_resume, words=words,
+                                exclusive=not args.shared_output)
         print(json.dumps(stats))
         return 0
     finally:

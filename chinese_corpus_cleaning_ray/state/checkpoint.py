@@ -322,6 +322,13 @@ def run_quality_job(
     stem-unique (or uuid-unique) name."""
     import ray.data as rd
 
+    if not resume and not exclusive:
+        raise ValueError(
+            "resume=False wipes the WHOLE output dir, which a non-exclusive "
+            "(multi-writer) job does not own — it would destroy the other "
+            "writers' output. Use resume=True with exclusive=False, or wipe "
+            "the shared dir once, up front, outside the writers."
+        )
     manifest = Manifest(output_dir)
     os.makedirs(output_dir, exist_ok=True)
     files = _list_input_files(input_path)

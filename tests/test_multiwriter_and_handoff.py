@@ -168,6 +168,16 @@ def test_nonexclusive_writer_leaves_foreign_state_alone(ray_session, split_input
     assert rc["files_done"] == 3 and len(m.done_stems()) == 3
 
 
+def test_nonexclusive_rejects_no_resume(ray_session, split_input, tmp_path):
+    """resume=False wipes the whole output dir — forbidden for a writer that
+    doesn't own it."""
+    from chinese_corpus_cleaning_ray.state.checkpoint import run_quality_job
+
+    _, a_dir, _ = split_input
+    with pytest.raises(ValueError, match="multi-writer"):
+        run_quality_job(a_dir, str(tmp_path / "x"), resume=False, exclusive=False)
+
+
 def test_crawl_to_quality_handoff(ray_session, tmp_path):
     """EP3→EP1: WARC → crawl pipeline → transcript adapter → quality job,
     schema-compatible end to end with consistent counters
