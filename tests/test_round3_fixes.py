@@ -413,6 +413,27 @@ def test_anti_filter_strategies_agree_random(ray_session, seed):
         assert 0 < len(a) < len(rows)
 
 
+def test_anti_filter_join_with_string_ids(ray_session):
+    """The manual anti-join must handle STRING ids (transcript row keys):
+    pandas-hash sharding and the null-padded union both see object dtype."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import minhash_dedup
+
+    base = "机器学习模型的训练过程需要大量高质量的数据支持数据清洗与预处理环节直接影响最终效果"
+    rows = []
+    for i in range(6):
+        text = base if i < 3 else f"独立文本第{i}号内容互不相同且与模板无关" * 2
+        rows.append({"row_key": f"conv{i:03d}#0000000001", "text": text})
+    ds = rd.from_items(rows).repartition(3)
+    bc, _ = minhash_dedup(ds, id_col="row_key", strategy="broadcast")
+    jn, _ = minhash_dedup(ds, id_col="row_key", strategy="join")
+    a = sorted(bc.to_pandas()["row_key"])
+    b = sorted(jn.to_pandas()["row_key"])
+    assert a == b
+    assert "conv000#0000000001" in a and "conv001#0000000001" not in a
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
