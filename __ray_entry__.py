@@ -660,6 +660,16 @@ def _q_doc_length_histogram(sf_dir: str):
     )
 
 
+def _q_doc_winnow_fingerprints(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.analysis import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        winnow_fingerprints(ds).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_emb_dbscan_clusters(sf_dir: str):
     """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
     LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
@@ -700,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_contamination": _q_doc_contamination,
         "doc_length_histogram": _q_doc_length_histogram,
+        "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -898,6 +909,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY bucket_lo
+        """,
+        # winnowing fingerprint: min MD5 over 64-char windows at stride 32
+        # (whole text when shorter) — mirrors winnow_fingerprints verbatim;
+        # python starts 0..len-64 step 32 == SQL 1-based range(1, len-62, 32)
+        "doc_winnow_fingerprints": """
+            SELECT doc_id, min(md5(w)) AS fp FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN length(text) <= 64 THEN [text]
+                         ELSE [substr(text, CAST(i AS INTEGER), 64)
+                               for i in range(1, length(text) - 62, 32)] END) AS w
+                FROM documents)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_jaccard_dedup": """
             WITH sh AS (

@@ -258,6 +258,35 @@ def length_histogram(ds, text_col: str = "text", bucket: int = 100):
     )
 
 
+def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                        window: int = 64, stride: int = 32):
+    """Winnowing-style document fingerprint: the MIN of MD5 over sliding
+    character windows (start positions 0, stride, 2·stride, …; whole text
+    when shorter than one window). Near-identical docs share their minimal
+    window with high probability, so equal fingerprints are dedup/grouping
+    candidates. MD5 is chosen as the window hash ONLY because it exists
+    bit-identically in SQL — unlike ``add_fingerprints``'s internal rolling
+    hash, this one is oracle-checkable end to end. Stateless map_batches."""
+    import hashlib
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            starts = range(0, max(len(t) - window + 1, 1), stride)
+            out.append(min(
+                hashlib.md5(t[i : i + window].encode("utf-8")).hexdigest()
+                for i in starts
+            ))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fp": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 def strip_html_text(html: str) -> str:
     """Scalar HTML→text (ref:tool.py:38-63 semantics): bs4 when available,
     regex tag stripper fallback. Row-local helper for task-side sinks; the

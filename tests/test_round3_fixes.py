@@ -434,6 +434,26 @@ def test_anti_filter_join_with_string_ids(ray_session):
     assert "conv000#0000000001" in a and "conv001#0000000001" not in a
 
 
+def test_winnow_fingerprints(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import winnow_fingerprints
+
+    base = "这是一段很长的基准文本用于窗口指纹测试" * 8  # > 2 windows
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + "末尾追加一点"},  # shares the min window
+        {"doc_id": 2, "text": "完全不同的另一篇文档内容" * 8},
+        {"doc_id": 3, "text": "短文"},  # shorter than one window
+    ]
+    out = winnow_fingerprints(rd.from_items(rows).repartition(2)).to_pandas()
+    fp = dict(zip(out["doc_id"], out["fp"]))
+    assert fp[0] == fp[1] != fp[2]
+    import hashlib
+
+    assert fp[3] == hashlib.md5("短文".encode()).hexdigest()
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
