@@ -156,16 +156,21 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
 
         tagged_right = dup_clean.map_batches(tag_right, batch_format="pyarrow")
 
-        def anti(group: pd.DataFrame) -> pd.DataFrame:
-            is_dup = group["__is_dup"].to_numpy() == 1
-            dup_set = set(group.loc[is_dup, id_col])
-            keep = group.loc[~is_dup & ~group[id_col].isin(dup_set)]
-            return keep.drop(columns=["__shard", "__is_dup"])
+        def anti(group: pa.Table) -> pa.Table:
+            # pure-Arrow group kernel: no pandas round-trip, so column types
+            # (timestamps especially) pass through bit-identical
+            is_dup = pc.equal(group.column("__is_dup"), 1)
+            dup_vals = group.filter(is_dup).column(id_col).combine_chunks()
+            mask = pc.and_(
+                pc.invert(is_dup),
+                pc.invert(pc.is_in(group.column(id_col), value_set=dup_vals)),
+            )
+            return group.filter(mask).drop_columns(["__shard", "__is_dup"])
 
         out = (
             tagged_left.union(tagged_right)
             .groupby("__shard")
-            .map_groups(anti, batch_format="pandas")
+            .map_groups(anti, batch_format="pyarrow")
         )
         return out, dup_ids_ds
 
