@@ -1,0 +1,70 @@
+"""Text-file-directory source/sink — the reference's NATIVE ingestion mode.
+
+EP1 walks a directory of .txt documents, one doc per file
+(ref:text_quality_filter/main.py:253-280 ``os.listdir`` + per-file read) and
+writes kept/cleaned documents back as one .txt per doc
+(ref:process_documents.py:40-70). The engine's flagship consumes Parquet
+transcripts (the scale-correct shape), but a reference user's first corpus
+is a txt directory — these adapters make the switch a one-liner:
+
+    ds = read_text_dir("/corpus/txt")               # (doc_id, path, text)
+    ... any pipeline ...
+    write_text_dir(ds, "/out/txt")                  # one file per doc
+
+Both are streaming: the read decodes inside Ray's binary-file read tasks;
+the write happens inside the map task (task-local, no shuffle, tmp-then-
+rename per file), returning a counter Dataset like the WARC sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def read_text_dir(paths, encoding: str = "utf-8", errors: str = "replace"):
+    """One row per text file: (doc_id = filename stem, path, text).
+    ``paths`` may be a directory, a glob, or a list — anything
+    ``read_binary_files`` accepts."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ps = batch.column("path").to_pylist()
+        texts = [b.decode(encoding, errors=errors)
+                 for b in batch.column("bytes").to_pylist()]
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in ps]
+        return pa.table(
+            {
+                "doc_id": pa.array(stems, pa.string()),
+                "path": pa.array(ps, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return files.map_batches(decode, batch_format="pyarrow")
+
+
+def write_text_dir(ds, out_dir: str, text_col: str = "text",
+                   id_col: str = "doc_id", suffix: str = ".txt",
+                   encoding: str = "utf-8"):
+    """One output file per row, named ``<id>.txt`` (tmp-then-rename), written
+    inside the map task. Returns the per-batch counter Dataset — consume it
+    (e.g. ``.sum("files_written")``) to drive execution."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n = 0
+        for i, t in zip(ids, texts):
+            tmp = os.path.join(out_dir, f".{i}{suffix}.tmp")
+            with open(tmp, "w", encoding=encoding) as f:
+                f.write(t if t is not None else "")
+            os.replace(tmp, os.path.join(out_dir, f"{i}{suffix}"))
+            n += 1
+        return pa.table({"files_written": pa.array([n], pa.int64())})
+
+    return ds.map_batches(write, batch_format="pyarrow")

@@ -454,6 +454,30 @@ def test_winnow_fingerprints(ray_session):
     assert fp[3] == hashlib.md5("短文".encode()).hexdigest()
 
 
+def test_text_dir_roundtrip(ray_session, tmp_path):
+    """The reference's native txt-directory input/output mode: read a dir of
+    .txt docs, run a pipeline stage, write one file per doc back."""
+    from chinese_corpus_cleaning_ray.sources.textdir import read_text_dir, write_text_dir
+    from chinese_corpus_cleaning_ray.stages.analysis import add_token_stats
+
+    src = tmp_path / "txt"
+    src.mkdir()
+    docs = {f"doc{i:02d}": f"这是第{i}篇测试文档的正文内容。" * (i + 1) for i in range(5)}
+    for name, text in docs.items():
+        (src / f"{name}.txt").write_text(text, encoding="utf-8")
+
+    ds = read_text_dir(str(src))
+    df = ds.to_pandas().sort_values("doc_id")
+    assert list(df["doc_id"]) == sorted(docs)
+    assert dict(zip(df["doc_id"], df["text"])) == docs
+
+    out = tmp_path / "out"
+    stats = write_text_dir(add_token_stats(ds), str(out)).sum("files_written")
+    assert stats == 5
+    for name, text in docs.items():
+        assert (out / f"{name}.txt").read_text(encoding="utf-8") == text
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
