@@ -18,6 +18,9 @@ ref:process_documents.py:86-161 ``process/...``):
         merge checkpoint piece files per (partition, input shard); crash-safe
     python -m chinese_corpus_cleaning_ray mergewords --lists F1 F2 ... --out F
         union+dedupe+sort word lists (ref merge_all_sensitive_words)
+    python -m chinese_corpus_cleaning_ray filtertxt --input TXTDIR --output DIR
+        EP1 verbatim: directory of .txt docs → kept scrubbed .txt docs +
+        decisions parquet + stats (ref:main.py:253-315 input/output mode)
     python -m chinese_corpus_cleaning_ray dbscan --input DIR --output DIR
         offline DBSCAN corpus builder over an embedding column
         (ref:utils/clustering.py:49-120; parquet of (id, cluster, is_core)
@@ -103,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--lists", nargs="+", required=True)
     mp.add_argument("--out", required=True)
 
+    tx = sub.add_parser("filtertxt")
+    tx.add_argument("--input", required=True, help="directory of .txt documents")
+    tx.add_argument("--output", required=True)
+    tx.add_argument("--num-cpus", type=int, default=None)
+    tx.add_argument("--enable-ppl", action="store_true")
+    tx.add_argument("--wordlist", default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -133,6 +143,45 @@ def main(argv: list[str] | None = None) -> int:
         n = merge_wordlists(args.lists, args.out)
         print(json.dumps({"out": args.out, "entries": n}))
         return 0
+
+    if args.cmd == "filtertxt":
+        # EP1 verbatim UX (ref:text_quality_filter/main.py:253-315): a
+        # directory of .txt docs in, kept (scrubbed) .txt docs + a decisions
+        # parquet + run stats out — over the streaming pipeline instead of a
+        # sequential per-file loop.
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import os
+
+            from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+            from chinese_corpus_cleaning_ray.functions.wordlists import load_words
+            from chinese_corpus_cleaning_ray.pipelines.quality import (
+                build_quality_pipeline,
+                quality_counters,
+            )
+            from chinese_corpus_cleaning_ray.sources.textdir import (
+                read_text_dir,
+                write_text_dir,
+            )
+
+            cfg = DEFAULT_CONFIG
+            if args.enable_ppl:
+                cfg = replace(cfg, enable_perplexity=True)
+            words = load_words(args.wordlist) if args.wordlist else None
+            scored = build_quality_pipeline(read_text_dir(args.input), cfg,
+                                            words=words).materialize()
+            kept = scored.filter(expr="keep == True")
+            out_text_col = "scrubbed_text" if cfg.enable_scrub else "text"
+            write_text_dir(kept, os.path.join(args.output, "txt"),
+                           text_col=out_text_col).sum("files_written")
+            scored.drop_columns(["path"]).write_parquet(
+                os.path.join(args.output, "decisions"))
+            stats = quality_counters(scored)  # ungrouped aggregate → dict
+            print(json.dumps({k: int(v) for k, v in stats.items()}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
 
     if args.cmd == "dbscan":
         ray, owned = _ray_init(args.num_cpus)

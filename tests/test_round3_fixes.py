@@ -478,6 +478,37 @@ def test_text_dir_roundtrip(ray_session, tmp_path):
         assert (out / f"{name}.txt").read_text(encoding="utf-8") == text
 
 
+def test_filtertxt_cli(ray_session, tmp_path):
+    """EP1's native UX: txt dir in → kept scrubbed txt + decisions + stats."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from chinese_corpus_cleaning_ray.__main__ import main
+
+    src = tmp_path / "txt"
+    src.mkdir()
+    good = "这是一篇质量很高的中文文档，内容完整，语句通顺，长度适中，适合保留下来继续处理。" * 3
+    for i in range(4):
+        (src / f"good{i}.txt").write_text(good + f"编号{i}", encoding="utf-8")
+    (src / "bad.txt").write_text("", encoding="utf-8")  # empty → rule_error → dropped
+
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["filtertxt", "--input", str(src), "--output", out])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["total"] == 5 and stats["kept"] == 4
+    kept_files = sorted(os.listdir(os.path.join(out, "txt")))
+    assert kept_files == [f"good{i}.txt" for i in range(4)]
+    dec = pads.dataset(os.path.join(out, "decisions")).to_table()
+    assert dec.num_rows == 5 and "quality_score" in dec.column_names
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
