@@ -112,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument("--num-cpus", type=int, default=None)
     tx.add_argument("--enable-ppl", action="store_true")
     tx.add_argument("--wordlist", default=None)
+    tx.add_argument("--vectorize", action="store_true",
+                    help="also embed kept docs and write an embeddings parquet "
+                         "(ref:process_documents.py --vectorize; deterministic "
+                         "fake embedder unless transformers is installed)")
 
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
@@ -176,6 +180,28 @@ def main(argv: list[str] | None = None) -> int:
                            text_col=out_text_col).sum("files_written")
             scored.drop_columns(["path"]).write_parquet(
                 os.path.join(args.output, "decisions"))
+            if args.vectorize:
+                # EP2's --vectorize (ref:process_documents.py:86-161): embed
+                # the KEPT docs' output text; real HF encoder when installed,
+                # deterministic fake otherwise (same Ray plumbing either way)
+                from chinese_corpus_cleaning_ray.stages.embed import (
+                    DeterministicFakeEmbedder,
+                    HFEmbedder,
+                    embed_texts,
+                )
+
+                def factory():
+                    try:
+                        return HFEmbedder()
+                    except NotImplementedError:
+                        return DeterministicFakeEmbedder()
+
+                embed_texts(
+                    kept.select_columns(["doc_id", out_text_col])
+                        .rename_columns({out_text_col: "text"}) if out_text_col != "text"
+                    else kept.select_columns(["doc_id", "text"]),
+                    embedder_factory=factory,
+                ).write_parquet(os.path.join(args.output, "embeddings"))
             stats = quality_counters(scored)  # ungrouped aggregate → dict
             print(json.dumps({k: int(v) for k, v in stats.items()}))
             return 0

@@ -508,6 +508,15 @@ def test_filtertxt_cli(ray_session, tmp_path):
     dec = pads.dataset(os.path.join(out, "decisions")).to_table()
     assert dec.num_rows == 5 and "quality_score" in dec.column_names
 
+    # --vectorize also writes embeddings for the kept docs
+    out2 = str(tmp_path / "out2")
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert main(["filtertxt", "--input", str(src), "--output", out2,
+                     "--vectorize"]) == 0
+    emb = pads.dataset(os.path.join(out2, "embeddings")).to_table()
+    assert emb.num_rows == 4 and "embedding" in emb.column_names
+    assert len(emb.column("embedding")[0].as_py()) == 64  # fake embedder dim
+
 
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
