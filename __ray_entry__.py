@@ -643,8 +643,10 @@ def _q_doc_contamination(sf_dir: str):
     def corpus_only(b):
         return b.filter(pc.greater_equal(b.column("doc_id"), 10))
 
+    # min_overlap=150 discriminates on the synthetic corpus (~50% flagged at
+    # every sf) — the shared sentence pool makes small overlaps ubiquitous
     out = contamination_check(ds.map_batches(corpus_only, batch_format="pyarrow"),
-                              probe, min_overlap=5)
+                              probe, min_overlap=150)
     return (
         out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
     )
@@ -883,7 +885,7 @@ def oracle_sql() -> dict[str, str]:
             freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g)
             SELECT g, df FROM freq ORDER BY df DESC, g LIMIT 20
         """,
-        # decontamination: corpus docs (id ≥ 10) sharing ≥ 5 distinct
+        # decontamination: corpus docs (id ≥ 10) sharing ≥ 150 distinct
         # 5-grams with the union of probe-doc (id < 10) shingles — mirrors
         # stages/analysis.py:contamination_check verbatim
         "doc_contamination": """
@@ -902,7 +904,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
             FROM sh WHERE g IN (SELECT g FROM probe)
-            GROUP BY doc_id HAVING COUNT(*) >= 5
+            GROUP BY doc_id HAVING COUNT(*) >= 150
             ORDER BY doc_id
         """,
         "doc_length_histogram": """
