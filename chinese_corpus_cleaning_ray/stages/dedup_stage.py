@@ -438,6 +438,11 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
         return batch.append_column("shard", h)
 
     def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        # factorize gram strings to dense int codes FIRST: the df-cap
+        # transform and the self-merge then run on int64 keys instead of
+        # hashing utf-8 strings twice each — exact (factorize is injective
+        # within the shard), just faster
+        group = group.assign(g=pd.factorize(group["g"])[0])
         if max_df is not None:
             df_g = group.groupby("g")["doc"].transform("size")
             group = group[df_g <= max_df]
