@@ -662,6 +662,17 @@ def _q_doc_length_histogram(sf_dir: str):
     )
 
 
+def _q_doc_stratified_sample(sf_dir: str):
+    """≤5 docs per source, smallest LCG-hash(id) wins — data-mixing quotas."""
+    from chinese_corpus_cleaning_ray.stages.analysis import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        stratified_sample(ds, key_col="source", id_col="doc_id", per_key=5)
+        .to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_winnow_fingerprints(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.analysis import winnow_fingerprints
 
@@ -713,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -911,6 +923,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY bucket_lo
+        """,
+        # per-source quota sample: smallest LCG-hash(doc_id) wins, ties by
+        # doc_id — mirrors stages/analysis.py:stratified_sample verbatim
+        "doc_stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                                    % 2147483648, doc_id) AS rnk
+                FROM documents)
+            WHERE rnk <= 5 ORDER BY doc_id
         """,
         # winnowing fingerprint: min MD5 over 64-char windows at stride 32
         # (whole text when shorter) — mirrors winnow_fingerprints verbatim;

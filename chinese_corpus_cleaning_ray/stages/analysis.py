@@ -115,6 +115,41 @@ def sample_by_hash(ds, id_col: str, pct: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, key_col: str, id_col: str, per_key: int,
+                      mult: int = 1103515245, inc: int = 12345,
+                      mod: int = 2147483648, shards: int = 256):
+    """Per-key quota sampling (data-mixing: "≤ N docs per source"): keep the
+    ``per_key`` rows with the smallest LCG-hash(id) within each key —
+    deterministic and bit-reproducible (same SQL arithmetic as
+    ``sample_by_hash``), so quotas survive reruns and resume unchanged.
+
+    Plan: hash shard of the key (a key never splits across shards) → one
+    vectorized sort + cumcount per shard. Per-shard memory = input/shards;
+    a hot key inflates one shard, never one Python group."""
+    import numpy as np
+    import pandas as pd
+
+    def add_rank_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % mod) * mult + inc) % mod
+        keys = pd.Series(batch.column(key_col).to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__h", pa.array(h)).append_column(
+            "__shard", pa.array(sh))
+
+    def quota(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "__h", id_col], kind="mergesort")
+        keep = g.groupby(key_col, sort=False).cumcount() < per_key
+        return g.loc[keep].drop(columns=["__h", "__shard"])
+
+    return (
+        ds.map_batches(add_rank_key, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(quota, batch_format="pandas")
+    )
+
+
 def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
                k: int = 5, top: int = 20, shards: int | None = None,
                target_docs_per_shard: int = 2048):

@@ -518,6 +518,27 @@ def test_filtertxt_cli(ray_session, tmp_path):
     assert len(emb.column("embedding")[0].as_py()) == 64  # fake embedder dim
 
 
+def test_stratified_sample_quota(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.analysis import stratified_sample
+
+    rows = [{"doc_id": i, "source": f"s{i % 4}"} for i in range(100)]
+    out = stratified_sample(rd.from_items(rows).repartition(4),
+                            key_col="source", id_col="doc_id", per_key=3).to_pandas()
+    assert len(out) == 12
+    assert (out.groupby("source").size() == 3).all()
+    # deterministic across reruns
+    out2 = stratified_sample(rd.from_items(rows).repartition(7),
+                             key_col="source", id_col="doc_id", per_key=3).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # a key with fewer rows than the quota keeps them all
+    small = [{"doc_id": i, "source": "only"} for i in range(2)]
+    out3 = stratified_sample(rd.from_items(small), key_col="source",
+                             id_col="doc_id", per_key=5).to_pandas()
+    assert sorted(out3["doc_id"]) == [0, 1]
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
