@@ -662,6 +662,25 @@ def _q_doc_length_histogram(sf_dir: str):
     )
 
 
+def _q_doc_incremental_dedup(sf_dir: str):
+    """Incremental ingestion: docs ≥250 deduped against the 'committed'
+    corpus (docs <250) by content, then exact-deduped among themselves."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import dedup_against_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    seen = ds.map_batches(lambda b: b.filter(pc.less(b.column("doc_id"), 250)),
+                          batch_format="pyarrow")
+    new = ds.map_batches(lambda b: b.filter(pc.greater_equal(b.column("doc_id"), 250)),
+                         batch_format="pyarrow")
+    out, _ = dedup_against_corpus(new, seen, id_col="doc_id")
+    return (
+        out.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_stratified_sample(sf_dir: str):
     """≤5 docs per source, smallest LCG-hash(id) wins — data-mixing quotas."""
     from chinese_corpus_cleaning_ray.stages.analysis import stratified_sample
@@ -725,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -923,6 +943,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY bucket_lo
+        """,
+        # incremental ingestion: new docs (id ≥ 250) whose text is not in the
+        # committed corpus (id < 250), keep-first among themselves — mirrors
+        # dedup_against_corpus (64-bit content hash ≡ text equality,
+        # collision-free at oracle scale)
+        "doc_incremental_dedup": """
+            WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+            fresh AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id >= 250 AND text NOT IN (SELECT text FROM seen))
+            SELECT doc_id FROM fresh
+            WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2
+                            WHERE f2.text = fresh.text)
+            ORDER BY doc_id
         """,
         # per-source quota sample: smallest LCG-hash(doc_id) wins, ties by
         # doc_id — mirrors stages/analysis.py:stratified_sample verbatim

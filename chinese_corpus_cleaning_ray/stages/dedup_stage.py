@@ -363,6 +363,33 @@ def minhash_dedup(
                        broadcast_limit=broadcast_limit)
 
 
+def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
+                         seen_text_col: str = "text", strategy: str = "auto",
+                         broadcast_limit: int = 2_000_000):
+    """Incremental ingestion: drop rows of ``ds`` whose text already exists
+    in ``seen_ds`` (the committed corpus), THEN exact-dedup the survivors
+    among themselves (keep-first by id). The daily-batch shape: yesterday's
+    corpus is the seen side; today's crawl is ``ds``.
+
+    Both sides reduce to 64-bit content hashes (``add_text_hash``), so the
+    seen side ships as hashes — 8 bytes/doc, not documents — through the
+    shared ``anti_filter`` ending (auto broadcast-vs-distributed-join). The
+    seen side should be a column-pruned read of just the text (or a stored
+    hash column) — never the full corpus rows. Returns
+    ``(new_unique_ds, dup_ids)``; run ``add_text_hash`` over the output to
+    extend a stored hash index for the next batch."""
+    hashed = add_text_hash(ds, text_col)
+    seen_hashes = add_text_hash(seen_ds, seen_text_col).select_columns(["text_hash"])
+    fresh, dups = anti_filter(hashed, seen_hashes, "text_hash",
+                              strategy=strategy, broadcast_limit=broadcast_limit)
+
+    def drop_hash(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["text_hash"])
+
+    fresh = fresh.map_batches(drop_hash, batch_format="pyarrow")
+    return exact_dedup(fresh, id_col=id_col, text_col=text_col), dups
+
+
 def simhash_mark(ds, text_col: str = "text", k: int = 3):
     def fn(batch: pa.Table) -> pa.Table:
         sims = [simhash64(t, k) for t in batch.column(text_col).to_pylist()]

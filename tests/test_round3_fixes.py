@@ -539,6 +539,28 @@ def test_stratified_sample_quota(ray_session):
     assert sorted(out3["doc_id"]) == [0, 1]
 
 
+def test_dedup_against_corpus(ray_session):
+    """Incremental ingestion: new batch loses rows already in the committed
+    corpus AND its own internal exact dups (keep-first by id)."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import dedup_against_corpus
+
+    seen = rd.from_items([{"doc_id": i, "text": f"已提交文档{i}的内容" } for i in range(5)])
+    new = rd.from_items([
+        {"doc_id": 10, "text": "已提交文档2的内容"},   # already in corpus → dropped
+        {"doc_id": 11, "text": "全新的第一篇文档内容"},
+        {"doc_id": 12, "text": "全新的第一篇文档内容"},  # internal dup → dropped
+        {"doc_id": 13, "text": "全新的第二篇文档内容"},
+    ]).repartition(2)
+    out, _ = dedup_against_corpus(new, seen, id_col="doc_id")
+    kept = sorted(out.to_pandas()["doc_id"])
+    assert kept == [11, 13]
+    # forced join strategy agrees
+    out2, _ = dedup_against_corpus(new, seen, id_col="doc_id", strategy="join")
+    assert sorted(out2.to_pandas()["doc_id"]) == [11, 13]
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
