@@ -112,14 +112,17 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
                 return None  # resolved to a skippable empty below
             return tbl.select([col])
 
+        @ray.remote
+        def _is_block(tbl) -> bool:
+            # deref happens in the worker; only the bool reaches the driver
+            return tbl is not None
+
         norm_refs = [_norm_block.remote(r, id_col)
                      for r in dup_ids_ds.to_arrow_refs()]
-        keep_refs = [r for r, v in zip(norm_refs, ray.get(norm_refs))
-                     if v is not None]
-        # NB: ray.get above fetches only to CHECK None-ness; blocks are tiny
-        # relative to the corpus (they are the dup-id set) and stay in the
-        # object store for from_arrow_refs. At least one block is non-empty
-        # because n_dups > 0.
+        flags = ray.get([_is_block.remote(r) for r in norm_refs])
+        keep_refs = [r for r, ok in zip(norm_refs, flags) if ok]
+        # the driver sees only booleans — dup-id BLOCKS never leave the
+        # object store. At least one block is non-empty because n_dups > 0.
         dup_clean = from_arrow_refs(keep_refs)
 
         shards = max(8, cluster_cpus())
