@@ -103,7 +103,9 @@ def sample_by_hash(ds, id_col: str, pct: int = 10,
     exactly expressible in SQL, so the sample is bit-reproducible across the
     engine, the oracle, and reruns (resume-safe: the same row always makes
     the same cut). Stateless vectorized filter; embarrassingly parallel; no
-    shuffle. For non-integer ids, hash them to int64 upstream first."""
+    shuffle. Ids must be NON-NEGATIVE integers (numpy's % is floored, SQL's
+    is truncated — they agree only for non-negative dividends); hash string
+    ids to non-negative int64 upstream first."""
     import numpy as np
     import pyarrow.compute as pc  # noqa: F401
 
@@ -122,6 +124,7 @@ def stratified_sample(ds, key_col: str, id_col: str, per_key: int,
     ``per_key`` rows with the smallest LCG-hash(id) within each key —
     deterministic and bit-reproducible (same SQL arithmetic as
     ``sample_by_hash``), so quotas survive reruns and resume unchanged.
+    Ids must be non-negative integers (see sample_by_hash).
 
     Plan: hash shard of the key (a key never splits across shards) → one
     vectorized sort + cumcount per shard. Per-shard memory = input/shards;
