@@ -258,7 +258,9 @@ def main(argv: list[str] | None = None) -> int:
                 [args.corpus] if args.corpus.endswith(".parquet") else args.corpus,
                 columns=["text"],
             )
-            texts = [r["text"] for r in ds.take(50_000)]
+            # limit().to_pandas() — columnar pull; take() iterates rows at
+            # ~0.5 ms/row (measured) and would cost ~25 s for this sample
+            texts = ds.limit(50_000).to_pandas()["text"].tolist()
             model = NgramModel(n=args.order).train(texts)
             model.save(args.model)
             print(json.dumps({"model": args.model, "order": args.order,
