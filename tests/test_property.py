@@ -84,6 +84,66 @@ def test_minhash_identity_and_symmetry(a, b):
 
 @settings(max_examples=60, deadline=None)
 @given(text=_TEXT)
+def test_remove_long_repeats_idempotent_and_shrinking(text):
+    from chinese_corpus_cleaning_ray.functions.textclean import (
+        remove_long_repeated_substrings,
+    )
+
+    once = remove_long_repeated_substrings(text)
+    assert len(once) <= len(text)
+    assert remove_long_repeated_substrings(once) == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                    max_size=200, unique=True))
+def test_lcg_sample_monotone_in_pct(ids):
+    """sample_by_hash's LCG cut is nested: keep(pct) ⊆ keep(pct') for
+    pct ≤ pct'; 0 keeps nothing, 100 keeps everything."""
+    mod, mult, inc = 2147483648, 1103515245, 12345
+    h = [((i % mod) * mult + inc) % mod % 100 for i in ids]
+    prev: set[int] = set()
+    for pct in (0, 10, 45, 100):
+        cur = {i for i, hv in zip(ids, h) if hv < pct}
+        assert prev <= cur
+        prev = cur
+    assert prev == set(ids)  # pct=100
+
+
+@settings(max_examples=40, deadline=None)
+@given(base=st.text(alphabet=st.characters(min_codepoint=0x4E00,
+                                           max_codepoint=0x4E80),
+                    min_size=64, max_size=200),
+       suffix=st.text(alphabet=st.characters(min_codepoint=0x4E00,
+                                             max_codepoint=0x4E80),
+                      max_size=100))
+def test_winnow_fingerprint_monotone_under_append(base, suffix):
+    """Window starts are absolute (0, 32, 64, …), so every full window of
+    ``base`` is also a window of ``base+suffix`` — the min-MD5 fingerprint
+    can only decrease (or stay) as text is appended."""
+    import hashlib
+
+    def fp(t, window=64, stride=32):
+        starts = range(0, max(len(t) - window + 1, 1), stride)
+        return min(hashlib.md5(t[i : i + window].encode()).hexdigest()
+                   for i in starts)
+
+    assert fp(base + suffix) <= fp(base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=_TEXT)
+def test_ppl_segment_extract_bounded(text):
+    from chinese_corpus_cleaning_ray.functions.textclean import (
+        extract_meaningful_segments,
+    )
+
+    out = extract_meaningful_segments(text, 500)
+    assert len(out) <= 500 + 1  # ref semantics allow one joining separator
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=_TEXT)
 def test_rule_error_iff_empty(text):
     from chinese_corpus_cleaning_ray.config import RuleConfig
     from chinese_corpus_cleaning_ray.functions.rules import evaluate_rules_batch
