@@ -662,6 +662,55 @@ def _q_doc_length_histogram(sf_dir: str):
     )
 
 
+def _q_top_orders_by_revenue(sf_dir: str):
+    """TPC-H-q3-flavored large⨝large: per-order lineitem revenue (partial
+    aggregate BEFORE the join) ⨝ orders via the robust manual hash_join
+    (Ray 2.49's Dataset.join dies on sparse hash partitions), then a
+    distributed sort + limit. Revenue in exact integer units
+    (cents × (100 - discount%)), so the oracle matches bit-for-bit."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ext = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+                      pa.int64())
+        dis = pc.cast(pc.round(pc.multiply(batch.column("l_discount"), 100.0)),
+                      pa.int64())
+        r = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), dis))
+        return pa.table({"o_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                         "rev": r})
+
+    per_order = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue_u"))
+    )
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        order_cols, batch_format="pyarrow")
+    joined = hash_join(per_order, orders, on="o_orderkey", how="inner")
+    top = (
+        joined.sort(key=["revenue_u", "o_orderkey"], descending=[True, False])
+        .limit(10).to_pandas()
+    )
+    return (
+        top[["o_orderkey", "o_orderpriority", "revenue_u"]]
+        .astype({"o_orderkey": "int64", "revenue_u": "int64"})
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     """Incremental ingestion: docs ≥250 deduped against the 'committed'
     corpus (docs <250) by content, then exact-deduped among themselves."""
@@ -745,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
@@ -943,6 +993,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY bucket_lo
+        """,
+        # q3-flavored: per-order revenue in exact integer units
+        # (cents × (100 - discount%)) joined to orders, top 10
+        "top_orders_by_revenue": """
+            WITH rev AS (
+                SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            AS BIGINT) AS revenue_u
+                FROM lineitem GROUP BY 1)
+            SELECT rev.o_orderkey, o.o_orderpriority, rev.revenue_u
+            FROM rev JOIN orders o ON o.o_orderkey = rev.o_orderkey
+            ORDER BY revenue_u DESC, rev.o_orderkey LIMIT 10
         """,
         # incremental ingestion: new docs (id ≥ 250) whose text is not in the
         # committed corpus (id < 250), keep-first among themselves — mirrors
