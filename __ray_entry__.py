@@ -479,6 +479,26 @@ def _q_transcripts_rule_metrics(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_transcripts_conv_keep(sf_dir: str):
+    """Conversation-level keep: a conv survives iff ≥50% of its turns pass
+    the (SQL-expressible) length rule — the transcript-native composite."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import conversation_keep
+
+    ds = _transcripts_ds(sf_dir)
+
+    def add_pass(batch: pa.Table) -> pa.Table:
+        p = pc.greater_equal(pc.utf8_length(batch.column("text")), 100)
+        return batch.append_column("length_pass", p)
+
+    out = conversation_keep(ds.map_batches(add_pass, batch_format="pyarrow"),
+                            pass_col="length_pass", min_pass_ratio=0.5)
+    return (
+        out.to_pandas().sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_transcripts_langid(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -801,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conversation_stats": _q_conversation_stats,
         "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
+        "transcripts_conv_keep": _q_transcripts_conv_keep,
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
@@ -1076,6 +1097,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}
             FROM ({_DERIVE_SQL})
             ORDER BY conv_id, turn_idx
+        """,
+        # conversation-level keep: ≥ 1/2 of turns pass the length rule —
+        # mirrors pipelines/conversations.py:conversation_keep (n_pass·den ≥
+        # n_turns·num exact-integer test)
+        "transcripts_conv_keep": f"""
+            WITH t AS (SELECT conv_id, length(text) >= 100 AS p
+                       FROM ({_DERIVE_SQL})),
+            agg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                           CAST(SUM(CAST(p AS BIGINT)) AS BIGINT) AS n_pass
+                    FROM t GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_pass,
+                   (n_pass * 2 >= n_turns * 1) AS conv_keep
+            FROM agg ORDER BY conv_id
         """,
         "transcripts_langid": f"""
             SELECT conv_id, turn_idx, {_LANGID_SQL_COLS}

@@ -134,6 +134,55 @@ def sliding_window_counts(ds, window_hours: int = 3):
     })
 
 
+def conversation_keep(scored_ds, pass_col: str = "rule_pass",
+                      min_pass_ratio: float = 0.5):
+    """Conversation-LEVEL keep decision over a per-turn scored Dataset: a
+    conversation survives iff ≥ ``min_pass_ratio`` of its turns pass. The
+    transcript-native composite the reference can't express (its documents
+    are independent files) — drop whole low-quality conversations instead of
+    leaving ragged ones.
+
+    Partial-aggregate discipline: per-batch (conv, n, n_pass) partials → one
+    small groupby; the keep test is exact integer arithmetic
+    (n_pass ≥ ratio·n evaluated as n_pass·DEN ≥ n·NUM with the ratio reduced
+    to a fraction) so the SQL oracle matches bit-for-bit. Output: one row
+    per conv (conv_id, n_turns, n_pass, conv_keep)."""
+    from fractions import Fraction
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    frac = Fraction(min_pass_ratio).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": batch.column("conv_id").to_pylist(),
+                "p": pc.cast(batch.column(pass_col), pa.int64()).to_numpy(
+                    zero_copy_only=False),
+            }
+        )
+        g = df.groupby("conv_id").agg(n_turns=("p", "size"), n_pass=("p", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    grouped = (
+        scored_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns", alias_name="n_turns"),
+                   Sum("n_pass", alias_name="n_pass"))
+    )
+
+    def decide(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(batch.column("n_pass"), pa.scalar(den, pa.int64())),
+            pc.multiply(batch.column("n_turns"), pa.scalar(num, pa.int64())),
+        )
+        return batch.append_column("conv_keep", keep)
+
+    return grouped.map_batches(decide, batch_format="pyarrow")
+
+
 def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     """Per-user sessions: consecutive events ≤ gap apart share a session.
     Output: one row per session (user_id, session_idx, n_events, start_ts,

@@ -561,6 +561,26 @@ def test_dedup_against_corpus(ray_session):
     assert sorted(out2.to_pandas()["doc_id"]) == [11, 13]
 
 
+def test_conversation_keep(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import conversation_keep
+
+    rows = []
+    # conv A: 3/4 pass → keep at 0.5; conv B: 1/4 pass → drop
+    for conv, passes in (("a", [1, 1, 1, 0]), ("b", [1, 0, 0, 0])):
+        for i, p in enumerate(passes):
+            rows.append({"conv_id": conv, "turn_idx": i, "rule_pass": bool(p)})
+    out = conversation_keep(rd.from_items(rows).repartition(3)).to_pandas()
+    keep = dict(zip(out["conv_id"], out["conv_keep"]))
+    assert keep == {"a": True, "b": False}
+    assert dict(zip(out["conv_id"], out["n_pass"])) == {"a": 3, "b": 1}
+    # exact boundary: 2/4 at ratio 0.5 keeps (>=)
+    rows2 = [{"conv_id": "c", "turn_idx": i, "rule_pass": i < 2} for i in range(4)]
+    out2 = conversation_keep(rd.from_items(rows2)).to_pandas()
+    assert out2["conv_keep"].iloc[0]
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
