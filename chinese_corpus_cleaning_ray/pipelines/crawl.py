@@ -58,14 +58,130 @@ def build_crawl_pipeline(warc_paths, langid_cfg=None):
     )
 
 
-def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None) -> dict:
-    """Execute the crawl pipeline and write Parquet; returns counters."""
-    ds = build_crawl_pipeline(warc_paths, langid_cfg)
-    ds = ds.materialize()
-    n = ds.count()
-    if n:
-        ds.write_parquet(out_dir)
-    return {"pages_kept": n, "out_dir": out_dir}
+def _list_warcs(warc_paths) -> list[str]:
+    import glob as _glob
+    import os
+
+    if isinstance(warc_paths, (list, tuple)):
+        out: list[str] = []
+        for p in warc_paths:
+            out.extend(_list_warcs(p))
+        return sorted(out)
+    if os.path.isdir(warc_paths):
+        return sorted(
+            os.path.join(warc_paths, f) for f in os.listdir(warc_paths)
+            if f.endswith((".warc", ".warc.gz"))
+        )
+    if any(ch in warc_paths for ch in "*?["):
+        return sorted(_glob.glob(warc_paths))
+    return [warc_paths]
+
+
+def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
+                  resume: bool = True) -> dict:
+    """Execute the crawl pipeline with PER-WARC-SHARD resume (same
+    discipline as state.checkpoint.run_quality_job): each input archive's
+    kept pages are written as ``out_dir/<stem>-<pathhash>.parquet`` INSIDE
+    the map task (task-local, no shuffle, tmp-then-rename), and a done
+    marker with counters lands under ``out_dir/_done/`` (the underscore
+    prefix keeps pyarrow dataset readers from touching it). A rerun skips
+    committed archives; a crashed shard's half-written piece is overwritten
+    atomically on retry. Returns run counters."""
+    import hashlib
+    import json
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.config import LangIdConfig
+    from chinese_corpus_cleaning_ray.functions.langid import make_langid
+    from chinese_corpus_cleaning_ray.functions.textclean import (
+        clean_text_ws,
+        remove_long_repeated_substrings,
+    )
+    from chinese_corpus_cleaning_ray.sources.warc import parse_warc_bytes
+    from chinese_corpus_cleaning_ray.stages.analysis import strip_html_text
+
+    cfg = langid_cfg or LangIdConfig()
+    done_dir = os.path.join(out_dir, "_done")
+    os.makedirs(done_dir, exist_ok=True)
+
+    def _tag(path: str) -> str:
+        stem = os.path.basename(path).split(".")[0]
+        return f"{stem}-{hashlib.sha1(path.encode()).hexdigest()[:8]}"
+
+    files = _list_warcs(warc_paths)
+    done: dict[str, dict] = {}
+    for p in files:
+        marker = os.path.join(done_dir, _tag(p) + ".json")
+        if resume and os.path.exists(marker):
+            rec = json.load(open(marker))
+            if rec.get("input_size") == os.path.getsize(p):
+                done[p] = rec
+    pending = [p for p in files if p not in done]
+
+    def process(row: dict) -> list[dict]:
+        recs = parse_warc_bytes(row["bytes"], row["path"])
+        uris, rids, texts = [], [], []
+        for r in recs:
+            t = remove_long_repeated_substrings(
+                clean_text_ws(strip_html_text(
+                    r["payload"].decode("utf-8", errors="ignore"))))
+            uris.append(r["target_uri"])
+            rids.append(r["record_id"])
+            texts.append(t)
+        lid = make_langid(cfg)
+        res = lid.predict_batch(texts) if texts else {
+            "lang": [], "lang_conf": [], "is_zh": []}
+        keep = [i for i, z in enumerate(res["is_zh"]) if z]
+        tag = _tag(row["path"])
+        if keep:
+            t = pa.table(
+                {
+                    "warc_path": pa.array([row["path"]] * len(keep), pa.string()),
+                    "record_id": pa.array([rids[i] for i in keep], pa.string()),
+                    "target_uri": pa.array([uris[i] for i in keep], pa.string()),
+                    "clean_text": pa.array([texts[i] for i in keep], pa.string()),
+                    "lang": pa.array([res["lang"][i] for i in keep], pa.string()),
+                    "lang_conf": pa.array([res["lang_conf"][i] for i in keep],
+                                          pa.float64()),
+                }
+            )
+            tmp = os.path.join(out_dir, f".{tag}.parquet.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"{tag}.parquet"))
+        return [{"path": row["path"], "records_in": len(recs),
+                 "pages_kept": len(keep)}]
+
+    files_this_run = 0
+    if pending:
+        counters = (
+            rd.read_binary_files(pending, include_paths=True)
+            .flat_map(process)
+            .to_pandas()
+        )
+        for _, r in counters.iterrows():
+            rec = {"input_size": os.path.getsize(r["path"]),
+                   "records_in": int(r["records_in"]),
+                   "pages_kept": int(r["pages_kept"]),
+                   "completed_at": time.time()}
+            marker = os.path.join(done_dir, _tag(r["path"]) + ".json")
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, marker)
+            done[r["path"]] = rec
+            files_this_run += 1
+
+    return {
+        "pages_kept": sum(r["pages_kept"] for r in done.values()),
+        "records_in": sum(r.get("records_in", 0) for r in done.values()),
+        "files_done": len(done),
+        "files_this_run": files_this_run,
+        "out_dir": out_dir,
+    }
 
 
 def crawl_pages_to_transcripts(pages_path, out_dir: str, ts_epoch_us: int = 0) -> str:

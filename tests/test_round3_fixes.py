@@ -581,6 +581,38 @@ def test_conversation_keep(ray_session):
     assert out2["conv_keep"].iloc[0]
 
 
+def test_crawl_job_resumable(ray_session, tmp_path):
+    """Per-WARC-shard resume: rerun is a no-op; a deleted marker reprocesses
+    exactly that shard; output stays readable and identical."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from chinese_corpus_cleaning_ray.pipelines.crawl import run_crawl_job
+    from chinese_corpus_cleaning_ray.sources.warc import build_warc_record
+
+    zh = "<html><body>" + "高质量的中文网页正文内容，讨论分布式数据处理。" * 3 + "</body></html>"
+    for i in range(3):
+        rec = build_warc_record(f"http://p{i}.example/", zh.encode(), f"<u:{i}>")
+        (tmp_path / f"shard{i}.warc").write_bytes(rec)
+
+    out = str(tmp_path / "pages")
+    s1 = run_crawl_job(str(tmp_path), out)
+    assert s1["pages_kept"] == 3 and s1["files_this_run"] == 3
+    before = pads.dataset(out).to_table().sort_by("target_uri")
+
+    s2 = run_crawl_job(str(tmp_path), out)  # no-op resume
+    assert s2["files_this_run"] == 0 and s2["pages_kept"] == 3
+    assert before.equals(pads.dataset(out).to_table().sort_by("target_uri"))
+
+    # invalidate one shard → exactly one reprocess, output identical
+    markers = sorted(os.listdir(os.path.join(out, "_done")))
+    os.remove(os.path.join(out, "_done", markers[0]))
+    s3 = run_crawl_job(str(tmp_path), out)
+    assert s3["files_this_run"] == 1 and s3["pages_kept"] == 3
+    assert before.equals(pads.dataset(out).to_table().sort_by("target_uri"))
+
+
 def test_worker_cache_capped():
     from chinese_corpus_cleaning_ray.stages.similarity import _cache_put
 
