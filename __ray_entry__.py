@@ -404,7 +404,12 @@ def _q_doc_minhash_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import minhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    deduped, _ = minhash_dedup(ds, id_col="doc_id")
+    # verify_threshold mirrors doc_jaccard_dedup's (k=5, 0.35): band
+    # collisions only NOMINATE candidates, exact Jaccard confirms — the
+    # reference's verified-similarity duplicate notion
+    # (ref:text_quality_filter/utils/clustering.py:169-185)
+    deduped, _ = minhash_dedup(ds, id_col="doc_id", verify_threshold=0.35,
+                               verify_k=5)
     return (
         deduped.select_columns(["doc_id"]).to_pandas()
         .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
@@ -532,7 +537,8 @@ def _q_transcripts_minhash_dedup(sf_dir: str):
             pc.cast(b.column("turn_idx"), pa.int32()))),
         batch_format="pyarrow",
     )
-    deduped, _ = minhash_dedup(ds, id_col="row_key")
+    deduped, _ = minhash_dedup(ds, id_col="row_key", verify_threshold=0.35,
+                               verify_k=5)
     out = deduped.select_columns(["conv_id", "turn_idx"]).to_pandas()
     out["turn_idx"] = out["turn_idx"].astype("int64")
     return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)

@@ -86,7 +86,13 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
     marker with counters lands under ``out_dir/_done/`` (the underscore
     prefix keeps pyarrow dataset readers from touching it). A rerun skips
     committed archives; a crashed shard's half-written piece is overwritten
-    atomically on retry. Returns run counters."""
+    atomically on retry. Markers carry a CONFIG HASH (same discipline as
+    run_quality_job): changing ``langid_cfg`` invalidates every committed
+    shard, a reprocessed shard that now keeps 0 pages deletes its previous
+    parquet, and pieces whose tag is not committed under the current input
+    set (crash residue, or inputs dropped from the set) are swept before the
+    run — so a read of ``out_dir`` after resume never mixes stale pages with
+    the returned counters. Returns run counters."""
     import hashlib
     import json
     import os
@@ -105,6 +111,11 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
     from chinese_corpus_cleaning_ray.stages.analysis import strip_html_text
 
     cfg = langid_cfg or LangIdConfig()
+    # dataclass repr is deterministic → stable config fingerprint; a changed
+    # langid threshold must invalidate committed shards, not silently keep
+    # pages filtered under the old config (same rule as run_quality_job's
+    # cfg.config_hash())
+    cfg_hash = hashlib.sha1(repr(cfg).encode()).hexdigest()[:12]
     done_dir = os.path.join(out_dir, "_done")
     os.makedirs(done_dir, exist_ok=True)
 
@@ -118,9 +129,25 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
         marker = os.path.join(done_dir, _tag(p) + ".json")
         if resume and os.path.exists(marker):
             rec = json.load(open(marker))
-            if rec.get("input_size") == os.path.getsize(p):
+            if (rec.get("input_size") == os.path.getsize(p)
+                    and rec.get("config_hash") == cfg_hash):
                 done[p] = rec
     pending = [p for p in files if p not in done]
+
+    # sweep pieces not committed under THIS input set + config: crash
+    # residue, config-invalidated shards, and inputs dropped from the set.
+    # A swept piece's marker goes with it — otherwise re-adding the input
+    # later would skip reprocessing against a deleted output.
+    done_tags = {_tag(p) for p in done}
+    for f in os.listdir(out_dir):
+        if not f.endswith(".parquet") or f.startswith("."):
+            continue
+        tag = f[: -len(".parquet")]
+        if tag not in done_tags:
+            os.remove(os.path.join(out_dir, f))
+            stale_marker = os.path.join(done_dir, tag + ".json")
+            if os.path.exists(stale_marker):
+                os.remove(stale_marker)
 
     def process(row: dict) -> list[dict]:
         recs = parse_warc_bytes(row["bytes"], row["path"])
@@ -137,6 +164,11 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
             "lang": [], "lang_conf": [], "is_zh": []}
         keep = [i for i, z in enumerate(res["is_zh"]) if z]
         tag = _tag(row["path"])
+        piece = os.path.join(out_dir, f"{tag}.parquet")
+        if not keep and os.path.exists(piece):
+            # reprocessed shard that now keeps nothing: the old piece must
+            # not survive, or out_dir reads disagree with the counters
+            os.remove(piece)
         if keep:
             t = pa.table(
                 {
@@ -151,7 +183,7 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
             )
             tmp = os.path.join(out_dir, f".{tag}.parquet.tmp")
             pq.write_table(t, tmp)
-            os.replace(tmp, os.path.join(out_dir, f"{tag}.parquet"))
+            os.replace(tmp, piece)
         return [{"path": row["path"], "records_in": len(recs),
                  "pages_kept": len(keep)}]
 
@@ -164,6 +196,7 @@ def run_crawl_job(warc_paths, out_dir: str, langid_cfg=None,
         )
         for _, r in counters.iterrows():
             rec = {"input_size": os.path.getsize(r["path"]),
+                   "config_hash": cfg_hash,
                    "records_in": int(r["records_in"]),
                    "pages_kept": int(r["pages_kept"]),
                    "completed_at": time.time()}
@@ -195,9 +228,20 @@ def crawl_pages_to_transcripts(pages_path, out_dir: str, ts_epoch_us: int = 0) -
     import ray.data as rd
 
     def reshape(batch: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
         rid = batch.column("record_id").to_pylist()
         uri = batch.column("target_uri").to_pylist()
-        conv = [r or u for r, u in zip(rid, uri)]
+        wp = batch.column("warc_path").to_pylist()
+        txt = batch.column("clean_text").to_pylist()
+        # conv_id must be UNIQUE per page: downstream quality-job
+        # partitioning and dedup key on (conv_id, turn_idx) with constant
+        # turn_idx=0, so pages with empty record_ids sharing a URI would
+        # collide on a bare uri fallback — suffix a content hash instead
+        conv = [
+            r if r else f"{u}#{_hashlib.sha1(((w or '') + chr(0) + (u or '') + chr(0) + (t or '')).encode('utf-8', 'surrogatepass')).hexdigest()[:12]}"
+            for r, u, w, t in zip(rid, uri, wp, txt)
+        ]
         n = batch.num_rows
         return pa.table(
             {

@@ -47,24 +47,46 @@ def read_text_dir(paths, encoding: str = "utf-8", errors: str = "replace"):
     return files.map_batches(decode, batch_format="pyarrow")
 
 
+def _safe_filename(doc_id) -> str:
+    """Injective escape of the characters that would let a doc_id write
+    outside out_dir (or crash the tmp-rename): path separators and NUL are
+    percent-encoded, and '%' itself is encoded first so distinct ids can
+    never collide after escaping. Everything else — including non-ASCII —
+    passes through untouched, so ordinary (e.g. Chinese) ids keep their
+    reference-style filenames. A bare '..' id becomes a plain odd filename,
+    not a traversal: traversal needs a separator, and none survive."""
+    s = str(doc_id)
+    return (s.replace("%", "%25").replace("/", "%2F")
+             .replace("\\", "%5C").replace("\0", "%00"))
+
+
 def write_text_dir(ds, out_dir: str, text_col: str = "text",
                    id_col: str = "doc_id", suffix: str = ".txt",
                    encoding: str = "utf-8"):
-    """One output file per row, named ``<id>.txt`` (tmp-then-rename), written
-    inside the map task. Returns the per-batch counter Dataset — consume it
-    (e.g. ``.sum("files_written")``) to drive execution."""
+    """One output file per row, named ``<escaped-id>.txt`` (tmp-then-rename),
+    written inside the map task. Returns the per-batch counter Dataset —
+    consume it (e.g. ``.sum("files_written")``) to drive execution.
+    ``files_overwritten`` counts renames that replaced an existing file
+    (duplicate ids across rows, or a pre-existing output) so silent
+    last-writer-wins collisions are at least visible in the counters."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         n = 0
+        overwrote = 0
         for i, t in zip(ids, texts):
-            tmp = os.path.join(out_dir, f".{i}{suffix}.tmp")
+            name = _safe_filename(i)
+            tmp = os.path.join(out_dir, f".{name}{suffix}.tmp")
+            final = os.path.join(out_dir, f"{name}{suffix}")
             with open(tmp, "w", encoding=encoding) as f:
                 f.write(t if t is not None else "")
-            os.replace(tmp, os.path.join(out_dir, f"{i}{suffix}"))
+            if os.path.exists(final):
+                overwrote += 1
+            os.replace(tmp, final)
             n += 1
-        return pa.table({"files_written": pa.array([n], pa.int64())})
+        return pa.table({"files_written": pa.array([n], pa.int64()),
+                         "files_overwritten": pa.array([overwrote], pa.int64())})
 
     return ds.map_batches(write, batch_format="pyarrow")

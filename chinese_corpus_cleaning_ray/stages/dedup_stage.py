@@ -224,7 +224,8 @@ def add_text_hash(ds, text_col: str = "text"):
 
 def exact_dedup(ds, id_col: str, text_col: str = "text",
                 shards: int | None = None,
-                target_docs_per_shard: int = 65536):
+                target_docs_per_shard: int = 65536,
+                num_rows_hint: int | None = None):
     """Keep the min-``id_col`` row per distinct text.
 
     Shuffle key is a COARSE shard of the 64-bit content hash, not the hash
@@ -235,9 +236,15 @@ def exact_dedup(ds, id_col: str, text_col: str = "text",
     ``shards=None`` (default) sizes the power-of-two shard count from the
     input row count (~``target_docs_per_shard`` rows per shard) so a shard
     stays within worker memory at any corpus size; the output is
-    shard-count-invariant."""
+    shard-count-invariant. ``num_rows_hint`` sidesteps the sizing
+    ``ds.count()`` when ``ds`` is a DERIVED pipeline — counting a derived
+    Dataset executes its whole upstream plan once just for the count, then
+    again for the real run (measured ~2× on the incremental-ingestion path).
+    Any upper bound on the row count works (shard count only controls
+    per-shard memory)."""
     if shards is None:
-        shards = _pow2_shards(ds.count(), target_docs_per_shard, lo=256)
+        n = num_rows_hint if num_rows_hint is not None else ds.count()
+        shards = _pow2_shards(n, target_docs_per_shard, lo=256)
     ds = add_text_hash(ds, text_col)
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -327,9 +334,28 @@ def minhash_dedup(
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
     concurrency=8,
+    verify_threshold: float | None = None,
+    verify_k: int | None = None,
 ):
     """Returns (deduped_ds, dup_ids_list_or_ds). A row is a duplicate when ANY
     LSH band bucket contains a row with a smaller id.
+
+    ``verify_threshold`` (off by default) adds EXACT verification: a band
+    collision only nominates a CANDIDATE pair (bucket-min keeper, member);
+    the pair is then verified by exact ``verify_k``-gram Jaccard
+    (default: ``shingle_k``) and the member is dropped only when the score
+    reaches the threshold. This matches the reference's duplicate notion —
+    *verified* similarity, not bucket equality
+    (ref:text_quality_filter/utils/clustering.py:169-185 computes the real
+    cosine ≥ 0.85 before declaring a duplicate) — and turns silent
+    false-positive kills (band-collision ≠ similar) into survivals. Cost:
+    candidate pairs are O(num_bands·n) at worst (each row pairs with at most
+    one keeper per band, deduped), the pair set is materialized ONCE and fed
+    through two distributed ``hash_join``s against the column-pruned
+    (id, text) side to fetch both texts — never an O(n²) scan, never a
+    driver-side text pull (when the candidate id set fits the broadcast
+    limit the doc side is prefiltered to candidates before the joins, so the
+    joins move candidate texts only).
 
     ``strategy="auto"`` (default) counts the distinct dup ids first (tiny
     metadata pass over the materialized dup-id set) and broadcasts them via
@@ -353,17 +379,115 @@ def minhash_dedup(
         shard = pc.bit_wise_and(batch.column("band_hash"), shards - 1)
         return batch.append_column("shard", pc.cast(shard, pa.int32()))
 
-    def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
-        mins = group.groupby(["band_id", "band_hash"])[id_col].transform("min")
-        return group.loc[group[id_col] != mins, [id_col]]
+    sharded = bands.map_batches(add_shard, batch_format="pyarrow")
 
-    dup_ids_ds = (
-        bands.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(mark_dups, batch_format="pandas")
+    if verify_threshold is None:
+        def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
+            mins = group.groupby(["band_id", "band_hash"])[id_col].transform("min")
+            return group.loc[group[id_col] != mins, [id_col]]
+
+        dup_ids_ds = (
+            sharded.groupby("shard").map_groups(mark_dups, batch_format="pandas")
+        )
+        return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                           broadcast_limit=broadcast_limit)
+
+    dup_ids_ds = _verified_minhash_dup_ids(
+        ds, sharded, id_col=id_col, text_col=text_col,
+        k=(verify_k if verify_k is not None else shingle_k),
+        threshold=verify_threshold, broadcast_limit=broadcast_limit,
     )
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
+
+
+def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
+                              k: int, threshold: float,
+                              broadcast_limit: int = 2_000_000):
+    """Candidate pairs from band buckets → distinct → fetch both texts via
+    two distributed hash_joins → exact Jaccard filter → dup ids (the ``ib``
+    of every verified pair). Returns a one-column Dataset of dup ids."""
+    from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+    def mark_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        mins = group.groupby(["band_id", "band_hash"])[id_col].transform("min")
+        sel = group[id_col] != mins
+        return pd.DataFrame({"ia": mins[sel].to_numpy(),
+                             "ib": group.loc[sel, id_col].to_numpy()}
+                            ).drop_duplicates()
+
+    def add_pair_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = (pd.util.hash_pandas_object(df["ia"], index=False).to_numpy()
+             ^ (pd.util.hash_pandas_object(df["ib"], index=False).to_numpy()
+                * np.uint64(31)))
+        return df.assign(pshard=(h & np.uint64(255)).astype(np.int32))
+
+    def distinct_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["ia", "ib"])[["ia", "ib"]]
+
+    pairs = (
+        sharded_bands.groupby("shard").map_groups(mark_pairs, batch_format="pandas")
+        .map_batches(add_pair_shard, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )
+    # materialized ONCE: the pair set feeds two joins — leaving it lazy would
+    # re-execute the whole band plan per join (blocks stay in the object
+    # store; the driver sees only the count)
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    docs = ds.select_columns([id_col, text_col])
+    if n_pairs == 0:
+        # no candidates → empty dup-id set with the right schema (a literal
+        # empty block, NOT a corpus scan)
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+
+    if 2 * n_pairs <= broadcast_limit:
+        # prefilter the doc side to candidate ids (broadcast once via
+        # ray.put) so the joins ship candidate texts only, not the corpus
+        pdf = pairs.to_pandas()
+        cand = pa.array(sorted(set(pdf["ia"]) | set(pdf["ib"])))
+        try:
+            import ray
+
+            cand_ref = ray.put(cand)
+        except Exception:
+            cand_ref = cand
+
+        def keep_cands(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            c = cand_ref
+            if isinstance(c, _ray.ObjectRef):
+                c = _ray.get(c)
+            col = batch.column(id_col)
+            return batch.filter(pc.is_in(col, value_set=c.cast(col.type)))
+
+        docs = docs.map_batches(keep_cands, batch_format="pyarrow")
+
+    def as_side(col_name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({col_name: batch.column(id_col),
+                             f"_t_{col_name}": batch.column(text_col)})
+
+        return f
+
+    with_a = hash_join(pairs, docs.map_batches(as_side("ia"), batch_format="pyarrow"),
+                       on="ia", how="inner")
+    with_b = hash_join(with_a, docs.map_batches(as_side("ib"), batch_format="pyarrow"),
+                       on="ib", how="inner")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        scores = ngram_jaccard_pairs(batch.column("_t_ia").to_pylist(),
+                                     batch.column("_t_ib").to_pylist(), k=k)
+        mask = pa.array([s >= threshold for s in scores])
+        out = batch.filter(mask).select(["ib"])
+        return out.rename_columns([id_col])
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
@@ -381,6 +505,12 @@ def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
     hash column) — never the full corpus rows. Returns
     ``(new_unique_ds, dup_ids)``; run ``add_text_hash`` over the output to
     extend a stored hash index for the next batch."""
+    # shard-size the downstream exact_dedup from the INPUT row count (a
+    # metadata-only count when ds is a parquet read, and always an upper
+    # bound on the anti-filter's output) — letting exact_dedup count its
+    # derived input would execute the whole seen-vs-new anti-filter plan
+    # once for the count and again for the real run (~2× the job's cost)
+    n_hint = ds.count()
     hashed = add_text_hash(ds, text_col)
     seen_hashes = add_text_hash(seen_ds, seen_text_col).select_columns(["text_hash"])
     fresh, dups = anti_filter(hashed, seen_hashes, "text_hash",
@@ -390,7 +520,8 @@ def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
         return batch.drop_columns(["text_hash"])
 
     fresh = fresh.map_batches(drop_hash, batch_format="pyarrow")
-    return exact_dedup(fresh, id_col=id_col, text_col=text_col), dups
+    return exact_dedup(fresh, id_col=id_col, text_col=text_col,
+                       num_rows_hint=n_hint), dups
 
 
 def simhash_mark(ds, text_col: str = "text", k: int = 3):

@@ -30,9 +30,11 @@ def hash_join(left, right, on: str, how: str = "inner",
               right_suffix: str = "_r", shards: int | None = None):
     """Join two Datasets on a single key column. ``how``: "inner" or "left".
     Overlapping non-key column names on the right get ``right_suffix``.
-    Returns the joined Dataset; column types pass through pandas (timestamp
-    columns come back as ns precision — cast downstream if exactness at
-    us-precision matters)."""
+    Column types are preserved EXACTLY: the per-shard merge is a pyarrow
+    ``Table.join`` (timestamps keep their unit; an int right column with
+    unmatched left rows stays int64-with-nulls, never float64), and every
+    shard's output is cast to the same declared union schema so blocks
+    cannot diverge. Null join keys never match (SQL semantics)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
@@ -102,16 +104,33 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     out_right = [rename[n] for n in right_in]
     left_nonkey = [c for c in left_cols if c != on]
+    out_sch = pa.schema([f for f in sch if f.name not in ("__shard", "__side")])
+    arrow_jt = "inner" if how == "inner" else "left outer"
 
-    def merge(group: pa.Table) -> pd.DataFrame:
-        # split the sides in ARROW first: converting the padded union frame
-        # to pandas as a whole would null-coerce int columns to float64
-        # (each side's null padding pollutes the other side's dtypes)
+    def merge(group: pa.Table) -> pa.Table:
+        # split the sides in ARROW (converting the padded union frame to
+        # pandas as a whole would null-coerce int columns to float64), then
+        # join in Arrow too: pa.Table.join preserves every column type
+        # bit-exactly, including timestamp units and nullable ints for
+        # left-join misses. The final cast to the shared out_sch guarantees
+        # every shard emits the SAME schema — per-shard dtype divergence
+        # (matched shard int64 vs missed shard float64) broke parquet
+        # unification under the old pandas merge.
         import pyarrow.compute as pc
 
         side = group.column("__side")
-        lf = group.filter(pc.equal(side, 0)).select([on] + left_nonkey).to_pandas()
-        rf = group.filter(pc.equal(side, 1)).select([on] + out_right).to_pandas()
-        return lf.merge(rf, on=on, how=how)
+        lf = group.filter(pc.equal(side, 0)).select([on] + left_nonkey)
+        rf = group.filter(pc.equal(side, 1)).select([on] + out_right)
+        try:
+            joined = lf.join(rf, keys=[on], join_type=arrow_jt)
+            return joined.select(out_sch.names).cast(out_sch)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # fallback for key/column types acero can't join (e.g. nested):
+            # pandas merge, then rebuild against out_sch — from_pandas=True
+            # maps NaN→null so a null-padded int column casts back to int64
+            merged = lf.to_pandas().merge(rf.to_pandas(), on=on, how=how)
+            cols = [pa.array(merged[f.name], type=f.type, from_pandas=True)
+                    for f in out_sch]
+            return pa.Table.from_arrays(cols, schema=out_sch)
 
     return both.groupby("__shard").map_groups(merge, batch_format="pyarrow")

@@ -246,17 +246,47 @@ def train_kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def _hash_sample(ds, id_col: str, n_rows: int, sample_size: int):
+    """Deterministic UNIFORM sample of ~``sample_size`` rows: keep a row iff
+    hash(id) falls below sample_size/n_rows of the 64-bit space. Unlike
+    ``ds.limit(n)`` (the first n rows in BLOCK order — one slice of a
+    sorted/partitioned corpus), every block contributes proportionally, so a
+    quantizer trained on the sample sees the whole distribution. Stateless
+    vectorized filter, no shuffle; expected driver pull = sample_size rows
+    regardless of corpus size."""
+    if n_rows <= sample_size:
+        return ds
+    # hash_pandas_object is deterministic for a fixed hash key (default),
+    # dtype-agnostic (int or string ids), and uniform over uint64
+    thresh = np.uint64(int((sample_size / n_rows) * 2**64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column(id_col).to_pandas(), index=False).to_numpy()
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def knn_ivf_kmeans(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_clusters: int = 16,
-                   nprobe: int = 2, sample_size: int = 10_000, seed: int = 42):
+                   nprobe: int = 2, sample_size: int = 10_000, seed: int = 42,
+                   num_rows_hint: int | None = None):
     """Classic IVF: k-means coarse quantizer trained on a driver-side sample,
     centroids broadcast; each batch keeps only rows whose nearest centroid is
     among any query's ``nprobe`` closest centroids, then exact top-k over the
     survivors. Approximate; recall grows with nprobe. Same output shape as
     knn_brute. At cluster scale the sample bound and the centroid broadcast
-    keep driver memory constant regardless of corpus size."""
+    keep driver memory constant regardless of corpus size.
+
+    The quantizer trains on a deterministic HASH sample (``_hash_sample``),
+    not ``ds.limit`` — the first-N-rows slice of a sorted or partitioned
+    corpus would show the quantizer one corner of the distribution and
+    silently degrade nprobe recall. Pass ``num_rows_hint`` when ``ds`` is a
+    derived pipeline (``ds.count()`` would execute it just for the count)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    sample = ds.limit(sample_size).to_pandas()
+    n_rows = num_rows_hint if num_rows_hint is not None else ds.count()
+    sample = _hash_sample(ds, id_col, n_rows, sample_size).to_pandas()
     sv = np.asarray(list(sample[vec_col]), dtype=np.float64)
     cent = train_kmeans(sv, n_clusters, seed=seed)
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]

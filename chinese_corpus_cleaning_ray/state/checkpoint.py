@@ -452,34 +452,68 @@ def run_quality_job(
             })
             files_this_run += 1
 
-    totals = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}
-    ppl_hist_total = [0] * len(PPL_BIN_EDGES)
-    for stem in manifest.done_stems():
-        rec = manifest.read(stem)
-        c = rec["counters"]
-        for k in totals:
-            totals[k] += int(c.get(k, 0))
-        for i, v in enumerate(rec.get("ppl_hist", [])[: len(ppl_hist_total)]):
-            ppl_hist_total[i] += int(v)
-    totals["files_done"] = len(manifest.done_stems())
-    totals["files_this_run"] = files_this_run
-    totals["pieces_cleaned"] = pieces_cleaned
+    def _totals_from_manifests() -> tuple[dict, list]:
+        t = {"total": 0, "kept": 0, "errors": 0, "scrubbed": 0}
+        hist = [0] * len(PPL_BIN_EDGES)
+        stems = manifest.done_stems()
+        for stem in stems:
+            rec = manifest.read(stem)
+            c = rec["counters"]
+            for k in t:
+                t[k] += int(c.get(k, 0))
+            for i, v in enumerate(rec.get("ppl_hist", [])[: len(hist)]):
+                hist[i] += int(v)
+        t["files_done"] = len(stems)
+        return t, hist
 
     # run-level stats artifact (ref:main.py:309-311 writes stats.json per
-    # batch run) — derived from committed manifests, so it is also correct
-    # after a resume; tmp-then-rename like every other writer here
-    stats_record = {
-        **totals,
-        "kept_ratio": (totals["kept"] / totals["total"]) if totals["total"] else 0.0,
-        "ppl_hist_bins": PPL_BIN_EDGES,
-        "ppl_hist": ppl_hist_total,
-        "config_hash": cfg_hash,
-        "completed_at": time.time(),
-    }
-    # uuid-unique tmp name: concurrent multi-writer jobs must not truncate
-    # each other's in-flight tmp before the atomic rename
-    tmp = os.path.join(output_dir, f"stats.json.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        json.dump(stats_record, f, indent=2)
-    os.replace(tmp, os.path.join(output_dir, "stats.json"))
+    # batch run) — derived ENTIRELY from committed manifests, so it is also
+    # correct after a resume; tmp-then-rename like every other writer here.
+    # Multi-writer: stats.json is last-rename-wins, so the (manifest scan →
+    # rename) pair is serialized under a lock file — without it a writer
+    # that scanned before a peer's final commits can rename AFTER them and
+    # publish an undercount. With the lock, the globally-last publisher's
+    # scan (taken inside its lock, after its own commits) has seen every
+    # manifest committed before it; any later commit belongs to a writer
+    # that will itself lock, rescan, and republish.
+    lock_path = os.path.join(output_dir, ".stats.lock")
+    got_lock = False
+    if not exclusive:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                os.close(os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                got_lock = True
+                break
+            except FileExistsError:
+                try:  # break a crashed holder's stale lock
+                    if time.time() - os.path.getmtime(lock_path) > 60:
+                        os.remove(lock_path)
+                except OSError:
+                    pass
+                time.sleep(0.05)
+    try:
+        totals, ppl_hist_total = _totals_from_manifests()
+        totals["files_this_run"] = files_this_run
+        totals["pieces_cleaned"] = pieces_cleaned
+        stats_record = {
+            **totals,
+            "kept_ratio": (totals["kept"] / totals["total"]) if totals["total"] else 0.0,
+            "ppl_hist_bins": PPL_BIN_EDGES,
+            "ppl_hist": ppl_hist_total,
+            "config_hash": cfg_hash,
+            "completed_at": time.time(),
+        }
+        # uuid-unique tmp name: concurrent multi-writer jobs must not truncate
+        # each other's in-flight tmp before the atomic rename
+        tmp = os.path.join(output_dir, f"stats.json.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(stats_record, f, indent=2)
+        os.replace(tmp, os.path.join(output_dir, "stats.json"))
+    finally:
+        if got_lock:
+            try:
+                os.remove(lock_path)
+            except OSError:
+                pass
     return totals
