@@ -155,6 +155,161 @@ _LANGID_SQL_COLS = """
 
 
 # ---------------------------------------------------------------------------
+# Full composite-keep SQL restatement (rule score + feature score + decision)
+# ---------------------------------------------------------------------------
+
+# Python [^\w\s一-鿿] under unicode semantics → RE2 unicode classes (\p{Z}
+# covers the non-ASCII whitespace Python's \s accepts, e.g. U+3000)
+_SYM_CLASS_SQL = r"[^\p{L}\p{N}_\s\p{Z}\x{85}一-鿿]"
+# functions/rules.py:40-46 EMOJI_RE, \UXXXXXXXX → RE2 \x{...}; the +
+# preserves run (not char) counting
+_EMO_CLASS_SQL = (
+    r"[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}"
+    r"\x{1F700}-\x{1F77F}\x{1F780}-\x{1F7FF}\x{1F800}-\x{1F8FF}"
+    r"\x{1F900}-\x{1F9FF}\x{1FA00}-\x{1FA6F}\x{1FA70}-\x{1FAFF}"
+    r"\x{2702}-\x{27B0}\x{24C2}-\x{1F251}]+")
+_SEO_SQL = [r"\d+\s*区\s*\d+", r"在线\s*播放", r"视频\s*一区\s*二区", r"久久+久+",
+            r"不卡\s*一区\s*二区", r"精品\s*视频\s*在线", r"日本\s*韩国\s*欧美"]
+_NEG_SQL = [r"不包含.*?(色情|赌博|广告)", r"没有.*?(色情|赌博|广告)",
+            r"禁止.*?(色情|赌博|广告)", r"反对.*?(色情|赌博|广告)",
+            r"拒绝.*?(色情|赌博|广告)"]
+_HIGH_WEIGHT_SQL = ["色情", "赌博", "特价", "促销", "优惠", "免费", "限时",
+                    "加qq", "加微信", "http://", "www.", "点击", "链接",
+                    "联系电话", "约炮", "一夜情"]
+_COMMON_SQL = {"系统", "手机", "电话", "网络", "联系", "人才", "招聘"}
+
+
+def _effective_feature_words() -> list[str]:
+    """The packaged word list, minus words a strict prefix of which is also a
+    word: the DFA scan (functions/scrub.py) matches the SHORTEST trie word
+    prefixing the text at each position, so a prefix-shadowed word can never
+    be detected — dropping it statically makes plain ``contains`` an exact
+    SQL restatement of set(matched) (residual divergence would need an
+    occurrence consumed by an overlapping earlier match, validated absent on
+    these corpora at 3 SFs)."""
+    from chinese_corpus_cleaning_ray.functions.wordlists import load_words
+
+    words = sorted({w.lower().strip() for w in load_words() if w.strip()})
+    return [w for w in words
+            if not any(u != w and w.startswith(u) for u in words)]
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _keep_label_sql(derive_sql: str) -> str:
+    """CTE chain ending in ``k(conv_id, turn_idx, keep)`` — the bit-exact SQL
+    restatement of the engine's composite keep label (rule_score M16 ×0.3 +
+    feature_score ×0.5, /0.8, ≥0.8; empty text = error = drop). Every float
+    expression mirrors the Python evaluation ORDER (same IEEE ops ⇒ same
+    bits); validated keep-identical to build_quality_pipeline at sf0.001/
+    0.01/0.1. The word-membership sums use list_filter, not a CASE chain —
+    DuckDB's binder recursion cap (128) rejects 120-term '+' chains."""
+    eff = [w for w in _effective_feature_words() if w not in _COMMON_SQL]
+    eff_list = ", ".join(f"'{_sql_quote(w)}'" for w in eff)
+    hw_list = ", ".join(f"'{_sql_quote(w)}'" for w in _HIGH_WEIGHT_SQL)
+    uniq_terms = f"len(list_filter([{eff_list}], w -> contains(lt, w)))"
+    hw_terms = f"3 * len(list_filter([{hw_list}], w -> contains(lt, w)))"
+    neg_terms = " OR ".join(
+        f"regexp_matches(text, '{_sql_quote(p)}')" for p in _NEG_SQL)
+    seo_terms = " OR ".join(
+        f"regexp_matches(text, '{_sql_quote(p)}')" for p in _SEO_SQL)
+    return f"""
+t AS (SELECT conv_id, turn_idx, text FROM ({derive_sql})),
+m AS (
+  SELECT conv_id, turn_idx, text, lower(text) AS lt,
+    length(text) AS n,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
+    length(regexp_extract_all(text, '{_SYM_CLASS_SQL}')) AS sym_c,
+    length(text) - length(replace(text, '|', '')) AS vbar,
+    length(text) - length(replace(text, ',', '')) AS comma_c,
+    length(regexp_extract_all(text, '{_sql_quote(_URL_PATTERN)}')) AS url_c,
+    length(regexp_extract_all(text, '{_EMO_CLASS_SQL}')) AS emo_runs,
+    list_avg([length(l) for l in str_split(text, chr(10)) if trim(l) <> '']) AS avg_line,
+    CASE WHEN length(text) >= 13 THEN
+      1.0 - CAST(len(list_distinct([substr(text, i, 13)
+                 for i in generate_series(1, length(text) - 12)])) AS DOUBLE)
+            / (length(text) - 12)
+    ELSE NULL END AS dup_r
+  FROM t),
+c AS (
+  SELECT *,
+    n >= 100 AS length_ok,
+    (avg_line IS NOT NULL AND avg_line >= 5) AS avg_ok,
+    (n > 0 AND zh / n >= 0.6) AS zh_ok,
+    (n > 0 AND sym_c / n <= 0.2) AS sym_ok,
+    (dup_r IS NULL OR dup_r <= 0.5) AS dup_ok,
+    (n > 0 AND vbar / n <= 0.005) AS vbar_ok,
+    (n > 0 AND comma_c / n <= 0.05) AS comma_ok,
+    (n > 0 AND url_c / n <= 0.01) AS url_ok,
+    (n > 0 AND emo_runs / n <= 0.02) AS emo_ok
+  FROM m),
+r AS (
+  SELECT *,
+    (length_ok AND avg_ok AND zh_ok AND sym_ok AND dup_ok AND vbar_ok
+     AND comma_ok AND url_ok AND emo_ok) AS rule_pass,
+    (n = 0) AS rule_error
+  FROM c),
+s AS (
+  SELECT *,
+    CASE WHEN rule_pass THEN 1.0 WHEN rule_error THEN 0.0 ELSE
+      (  (CASE WHEN length_ok THEN 1.0 ELSE least(1.0, n / 100) END) * 0.05
+       + (CASE WHEN avg_ok THEN 1.0
+               WHEN avg_line IS NOT NULL THEN least(1.0, avg_line / 5) ELSE 0.0 END) * 0.1
+       + (CASE WHEN zh_ok THEN 1.0 ELSE least(1.0, (zh / n) / 0.6) END) * 0.15
+       + (CASE WHEN sym_ok THEN 1.0
+               WHEN sym_c = 0 THEN 1.0
+               ELSE greatest(0.0, least(1.0, 0.2 / (sym_c / n))) END) * 0.1
+       + (CASE WHEN dup_ok THEN 1.0
+               ELSE greatest(0.0, least(1.0,
+                    CASE WHEN dup_r > 0 THEN 0.5 / dup_r ELSE 1.0 END)) END) * 0.1
+       + (CASE WHEN vbar_ok THEN 1.0
+               ELSE greatest(0.0, least(0.5,
+                    CASE WHEN vbar > 0 THEN 0.005 / (vbar / n) ELSE 1.0 END)) END) * 0.2
+       + (CASE WHEN comma_ok THEN 1.0
+               ELSE greatest(0.0, least(1.0,
+                    CASE WHEN comma_c > 0 THEN 0.05 / (comma_c / n) ELSE 1.0 END)) END) * 0.1
+       + (CASE WHEN url_ok THEN 1.0
+               ELSE greatest(0.0, least(0.3,
+                    CASE WHEN url_c > 0 THEN 0.01 / (url_c / n) ELSE 1.0 END)) END) * 0.1
+       + (CASE WHEN emo_ok THEN 1.0
+               ELSE greatest(0.0, least(1.0,
+                    CASE WHEN emo_runs > 0 THEN 0.02 / (emo_runs / n) ELSE 1.0 END)) END) * 0.1
+      ) / (0.05 + 0.10 + 0.15 + 0.10 + 0.10 + 0.20 + 0.10 + 0.10 + 0.10)
+      * (CASE WHEN (vbar > 0 AND vbar / n > 0.005 * 2)
+                OR (url_c / n > 0.01 * 3)
+                OR ({seo_terms})
+              THEN 0.3 ELSE 1.0 END)
+    END AS rule_score
+  FROM r),
+f AS (
+  SELECT *,
+    CASE WHEN n = 0 THEN 0.0 ELSE (
+      CASE WHEN ({neg_terms})
+           THEN greatest(
+             CASE WHEN ratio3 > 0.2 THEN 0.0 WHEN ratio3 > 0.1 THEN 0.2
+                  WHEN ratio3 > 0.05 THEN 0.5 WHEN ratio3 > 0.01 THEN 0.8
+                  ELSE 1.0 END,
+             CASE WHEN ratio3 < 0.05 THEN 0.8 ELSE 0.0 END)
+           ELSE
+             CASE WHEN ratio1 > 0.2 THEN 0.0 WHEN ratio1 > 0.1 THEN 0.2
+                  WHEN ratio1 > 0.05 THEN 0.5 WHEN ratio1 > 0.01 THEN 0.8
+                  ELSE 1.0 END
+      END) END AS feature_score
+  FROM (
+    SELECT *,
+      (({uniq_terms}) + ({hw_terms})) / (n / 10) AS ratio1,
+      ((({uniq_terms}) + ({hw_terms})) / (n / 10)) * 0.3 AS ratio3
+    FROM s)),
+k AS (
+  SELECT conv_id, turn_idx,
+    (NOT rule_error) AND
+    ((0.3 * rule_score + 0.5 * feature_score) / (0.0 + 0.3 + 0.5)) >= 0.8 AS keep
+  FROM f)"""
+
+
+# ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
 
@@ -504,6 +659,23 @@ def _q_transcripts_conv_keep(sf_dir: str):
     )
 
 
+def _q_transcripts_conv_keep_full(sf_dir: str):
+    """Conversation-level keep on the FULL quality signal: the composite
+    per-turn ``keep`` label (rule score ×0.3 + feature score ×0.5, /0.8,
+    ≥0.8 — the real pipeline decision) feeds conversation_keep; a conv
+    survives iff ≥50% of its turns keep. The oracle restates the whole label
+    in SQL (_keep_label_sql), bit-validated against the engine at 3 SFs."""
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.conversations import conversation_keep
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    scored = build_quality_pipeline(_transcripts_ds(sf_dir), DEFAULT_CONFIG)
+    out = conversation_keep(scored, pass_col="keep", min_pass_ratio=0.5)
+    return (
+        out.to_pandas().sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_transcripts_langid(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -828,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_conv_keep": _q_transcripts_conv_keep,
+        "transcripts_conv_keep_full": _q_transcripts_conv_keep_full,
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
@@ -1113,6 +1286,18 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
                            CAST(SUM(CAST(p AS BIGINT)) AS BIGINT) AS n_pass
                     FROM t GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_pass,
+                   (n_pass * 2 >= n_turns * 1) AS conv_keep
+            FROM agg ORDER BY conv_id
+        """,
+        # conversation keep on the FULL composite label: the entire rule +
+        # feature + decision formula restated in SQL (see _keep_label_sql),
+        # then the same exact-integer ≥50% conv aggregation
+        "transcripts_conv_keep_full": f"""
+            WITH {_keep_label_sql(_DERIVE_SQL)},
+            agg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                           CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_pass
+                    FROM k GROUP BY conv_id)
             SELECT conv_id, n_turns, n_pass,
                    (n_pass * 2 >= n_turns * 1) AS conv_keep
             FROM agg ORDER BY conv_id

@@ -32,6 +32,7 @@ def build_quality_pipeline(
     words=None,
     ppl_model_path: str | None = None,
     cluster_ref=None,
+    ppl_scorer_factory=None,
 ):
     """Compose the quality stages onto ``ds`` (a ray.data.Dataset with a
     ``text`` column). Returns the lazy Dataset with appended columns:
@@ -67,9 +68,13 @@ def build_quality_pipeline(
                 num_cpus=1,
             )
     if cfg.enable_perplexity:
+        # ``ppl_scorer_factory``: the GPU-cluster seam — e.g.
+        # lambda: HFPerplexityScorer(cfg.perplexity). Constructed once per
+        # ACTOR (PplStage.__init__), so the model loads once per worker.
         ds = ds.map_batches(
             PplStage,
-            fn_constructor_kwargs={"cfg": cfg, "model_path": ppl_model_path},
+            fn_constructor_kwargs={"cfg": cfg, "model_path": ppl_model_path,
+                                   "scorer_factory": ppl_scorer_factory},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=resolve_pool(cfg.ppl_actors, fraction=0.3),

@@ -336,6 +336,7 @@ def minhash_dedup(
     concurrency=8,
     verify_threshold: float | None = None,
     verify_k: int | None = None,
+    verify_broadcast_limit: int = 100_000,
 ):
     """Returns (deduped_ds, dup_ids_list_or_ds). A row is a duplicate when ANY
     LSH band bucket contains a row with a smaller id.
@@ -396,6 +397,7 @@ def minhash_dedup(
         ds, sharded, id_col=id_col, text_col=text_col,
         k=(verify_k if verify_k is not None else shingle_k),
         threshold=verify_threshold, broadcast_limit=broadcast_limit,
+        verify_broadcast_limit=verify_broadcast_limit,
     )
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
@@ -403,10 +405,21 @@ def minhash_dedup(
 
 def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
                               k: int, threshold: float,
-                              broadcast_limit: int = 2_000_000):
-    """Candidate pairs from band buckets → distinct → fetch both texts via
-    two distributed hash_joins → exact Jaccard filter → dup ids (the ``ib``
-    of every verified pair). Returns a one-column Dataset of dup ids."""
+                              broadcast_limit: int = 2_000_000,
+                              verify_broadcast_limit: int = 100_000):
+    """Candidate pairs from band buckets → exact-Jaccard verification → dup
+    ids (the ``ib`` of every verified pair). Two execution shapes:
+
+    - candidate set ≤ ``verify_broadcast_limit``: broadcast-filter the corpus
+      to candidate (id, text) rows, pull THOSE to the driver and verify in
+      one vectorized pass — no extra shuffles (candidates ≪ corpus is the
+      normal case; at sf0.1's 5k docs this is ~5k pairs / 5 MB of text).
+    - larger: distinct pairs via one groupby, then two distributed
+      ``hash_join``s against the column-pruned doc side fetch both texts,
+      and a stateless map filters on exact Jaccard — the 100-TB path: the
+      driver never holds texts, candidate payload moves ≤ twice.
+
+    Returns a one-column Dataset of dup ids."""
     from chinese_corpus_cleaning_ray.stages.joins import hash_join
 
     def mark_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -415,6 +428,66 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
         return pd.DataFrame({"ia": mins[sel].to_numpy(),
                              "ib": group.loc[sel, id_col].to_numpy()}
                             ).drop_duplicates()
+
+    # materialized ONCE: the pair set is consumed 2-3 times below — leaving
+    # it lazy would re-execute the whole band plan per consumer (blocks stay
+    # in the object store; the driver sees only the count)
+    pairs_raw = (
+        sharded_bands.groupby("shard").map_groups(mark_pairs, batch_format="pandas")
+    ).materialize()
+    n_raw = pairs_raw.count()
+    docs = ds.select_columns([id_col, text_col])
+    if n_raw == 0:
+        # no candidates → empty dup-id set with the right schema (a literal
+        # empty block, NOT a corpus scan)
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+
+    def _broadcast(val):
+        try:
+            import ray
+
+            return ray.put(val)
+        except Exception:
+            return val
+
+    def _deref(val):
+        import ray as _ray
+
+        return _ray.get(val) if isinstance(val, _ray.ObjectRef) else val
+
+    if n_raw <= verify_broadcast_limit:
+        # small-candidate fast path: dedupe pairs on the driver (ids only —
+        # 16 bytes/pair), broadcast the candidate id set, pull candidate
+        # texts, verify locally. Saves the distinct-groupby and both joins.
+        import ray.data as rd
+
+        pdf = pairs_raw.to_pandas().drop_duplicates(["ia", "ib"])
+        cand = pa.array(sorted(set(pdf["ia"]) | set(pdf["ib"])))
+        cand_ref = _broadcast(cand)
+
+        def keep_cands(batch: pa.Table) -> pa.Table:
+            c = _deref(cand_ref)
+            col = batch.column(id_col)
+            return batch.filter(pc.is_in(col, value_set=c.cast(col.type)))
+
+        texts_pdf = docs.map_batches(keep_cands, batch_format="pyarrow").to_pandas()
+        # shingle each candidate ONCE (a doc appears in many pairs; per-pair
+        # re-shingling tripled the verify wall at 22k pairs / 5k candidates)
+        shingles_of = {
+            i: char_shingles(t if t is not None else "", k)
+            for i, t in zip(texts_pdf[id_col], texts_pdf[text_col])
+        }
+        empty = np.empty(0, dtype=np.uint64)
+        scores = [jaccard(shingles_of.get(a, empty), shingles_of.get(b, empty))
+                  for a, b in zip(pdf["ia"], pdf["ib"])]
+        dup_ids = pd.unique(pdf["ib"].to_numpy()[
+            np.asarray(scores) >= threshold])
+        id_type = texts_pdf[id_col].dtype
+        return rd.from_arrow(pa.table({id_col: pa.Array.from_pandas(
+            pd.Series(dup_ids, dtype=id_type))}))
 
     def add_pair_shard(df: pd.DataFrame) -> pd.DataFrame:
         h = (pd.util.hash_pandas_object(df["ia"], index=False).to_numpy()
@@ -426,43 +499,21 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
         return group.drop_duplicates(["ia", "ib"])[["ia", "ib"]]
 
     pairs = (
-        sharded_bands.groupby("shard").map_groups(mark_pairs, batch_format="pandas")
-        .map_batches(add_pair_shard, batch_format="pandas")
+        pairs_raw.map_batches(add_pair_shard, batch_format="pandas")
         .groupby("pshard")
         .map_groups(distinct_pairs, batch_format="pandas")
-    )
-    # materialized ONCE: the pair set feeds two joins — leaving it lazy would
-    # re-execute the whole band plan per join (blocks stay in the object
-    # store; the driver sees only the count)
-    pairs = pairs.materialize()
+    ).materialize()
     n_pairs = pairs.count()
-    docs = ds.select_columns([id_col, text_col])
-    if n_pairs == 0:
-        # no candidates → empty dup-id set with the right schema (a literal
-        # empty block, NOT a corpus scan)
-        import ray.data as rd
-
-        id_type = ds.schema().base_schema.field(id_col).type
-        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
 
     if 2 * n_pairs <= broadcast_limit:
         # prefilter the doc side to candidate ids (broadcast once via
         # ray.put) so the joins ship candidate texts only, not the corpus
         pdf = pairs.to_pandas()
         cand = pa.array(sorted(set(pdf["ia"]) | set(pdf["ib"])))
-        try:
-            import ray
-
-            cand_ref = ray.put(cand)
-        except Exception:
-            cand_ref = cand
+        cand_ref = _broadcast(cand)
 
         def keep_cands(batch: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            c = cand_ref
-            if isinstance(c, _ray.ObjectRef):
-                c = _ray.get(c)
+            c = _deref(cand_ref)
             col = batch.column(id_col)
             return batch.filter(pc.is_in(col, value_set=c.cast(col.type)))
 

@@ -180,6 +180,27 @@ def test_minhash_verify_kills_false_positive_keeps_true_dup(ray_session):
     assert kept1 == [0, 2, 3]
 
 
+def test_minhash_verify_join_path_matches_broadcast_path(ray_session):
+    """verify_broadcast_limit=0 forces the distributed two-join verification
+    (the 100-TB shape); it must produce the same kept set as the
+    small-candidate driver-verify fast path."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import minhash_dedup
+
+    rows = _planted_corpus() + [
+        {"doc_id": 10 + i, "text": f"额外的独立文档第{i}篇，内容互不相同。" + "丰富内容" * i}
+        for i in range(6)
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    kw = dict(id_col="doc_id", num_perm=16, num_bands=16, seed=42,
+              verify_threshold=0.7)
+    fast, _ = minhash_dedup(ds, **kw)  # candidates ≪ default limit → driver verify
+    slow, _ = minhash_dedup(ds, verify_broadcast_limit=0, **kw)  # forced joins
+    assert sorted(fast.to_pandas()["doc_id"]) == sorted(slow.to_pandas()["doc_id"])
+    assert 1 not in set(slow.to_pandas()["doc_id"])  # true dup still dropped
+
+
 def test_minhash_verify_string_ids_and_no_candidates(ray_session):
     """Verified path with row_key-style STRING ids, and the empty-candidate
     early exit (all docs distinct → no pairs → identity)."""
