@@ -198,14 +198,32 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _keep_label_sql(derive_sql: str) -> str:
-    """CTE chain ending in ``k(conv_id, turn_idx, keep)`` — the bit-exact SQL
-    restatement of the engine's composite keep label (rule_score M16 ×0.3 +
-    feature_score ×0.5, /0.8, ≥0.8; empty text = error = drop). Every float
+def _scrub_pattern_sql() -> str:
+    """RE2 alternation equivalent to the DFA scrub trie
+    (functions/scrub.py): effective (non-prefix-shadowed) words sorted
+    shortest-first. RE2 regexp_replace / regexp_extract_all find the
+    LEFTMOST match and, at that position, the FIRST alternative that
+    matches — with shortest-first ordering that is exactly the trie's
+    shortest-match-then-jump scan. Prefix-shadowed words can never match
+    the trie (the walk stops at the first terminal), so dropping them
+    statically changes nothing."""
+    import re as _re
+
+    words = sorted(_effective_feature_words(), key=len)
+    return _sql_quote("|".join(_re.escape(w) for w in words))
+
+
+def _keep_label_sql(derive_sql: str, keys: str = "conv_id, turn_idx") -> str:
+    """CTE chain ending in ``k({keys}, rule_pass, rule_error, rule_score,
+    feature_score, quality_score, keep)`` — the bit-exact SQL restatement of
+    the engine's composite quality label (rule_score M16 ×0.3 + feature_score
+    ×0.5, /0.8, ≥0.8; empty text = error = score 0 = drop). Every float
     expression mirrors the Python evaluation ORDER (same IEEE ops ⇒ same
-    bits); validated keep-identical to build_quality_pipeline at sf0.001/
-    0.01/0.1. The word-membership sums use list_filter, not a CASE chain —
-    DuckDB's binder recursion cap (128) rejects 120-term '+' chains."""
+    bits); validated bit-identical to build_quality_pipeline at sf0.001/
+    0.01/0.1 (keep via transcripts_conv_keep_full, the full float columns
+    via doc_quality). The word-membership sums use list_filter, not a CASE
+    chain — DuckDB's binder recursion cap (128) rejects 120-term '+'
+    chains."""
     eff = [w for w in _effective_feature_words() if w not in _COMMON_SQL]
     eff_list = ", ".join(f"'{_sql_quote(w)}'" for w in eff)
     hw_list = ", ".join(f"'{_sql_quote(w)}'" for w in _HIGH_WEIGHT_SQL)
@@ -216,9 +234,9 @@ def _keep_label_sql(derive_sql: str) -> str:
     seo_terms = " OR ".join(
         f"regexp_matches(text, '{_sql_quote(p)}')" for p in _SEO_SQL)
     return f"""
-t AS (SELECT conv_id, turn_idx, text FROM ({derive_sql})),
+t AS (SELECT {keys}, text FROM ({derive_sql})),
 m AS (
-  SELECT conv_id, turn_idx, text, lower(text) AS lt,
+  SELECT {keys}, text, lower(text) AS lt,
     length(text) AS n,
     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
     length(regexp_extract_all(text, '{_SYM_CLASS_SQL}')) AS sym_c,
@@ -276,9 +294,9 @@ s AS (
        + (CASE WHEN emo_ok THEN 1.0
                ELSE greatest(0.0, least(1.0,
                     CASE WHEN emo_runs > 0 THEN 0.02 / (emo_runs / n) ELSE 1.0 END)) END) * 0.1
-      ) / (0.05 + 0.10 + 0.15 + 0.10 + 0.10 + 0.20 + 0.10 + 0.10 + 0.10)
-      * (CASE WHEN (vbar > 0 AND vbar / n > 0.005 * 2)
-                OR (url_c / n > 0.01 * 3)
+      ) / (0.05::DOUBLE + 0.10 + 0.15 + 0.10 + 0.10 + 0.20 + 0.10 + 0.10 + 0.10)
+      * (CASE WHEN (vbar > 0 AND vbar / n > 0.005::DOUBLE * 2)
+                OR (url_c / n > 0.01::DOUBLE * 3)
                 OR ({seo_terms})
               THEN 0.3 ELSE 1.0 END)
     END AS rule_score
@@ -302,11 +320,17 @@ f AS (
       (({uniq_terms}) + ({hw_terms})) / (n / 10) AS ratio1,
       ((({uniq_terms}) + ({hw_terms})) / (n / 10)) * 0.3 AS ratio3
     FROM s)),
+q AS (
+  SELECT *,
+    CASE WHEN rule_error THEN 0.0 ELSE
+      (0.3 * rule_score + 0.5 * feature_score) / (0.0::DOUBLE + 0.3 + 0.5)
+    END AS quality_score
+  FROM f),
 k AS (
-  SELECT conv_id, turn_idx,
-    (NOT rule_error) AND
-    ((0.3 * rule_score + 0.5 * feature_score) / (0.0 + 0.3 + 0.5)) >= 0.8 AS keep
-  FROM f)"""
+  SELECT {keys}, rule_pass, rule_error, rule_score, feature_score,
+    quality_score,
+    (NOT rule_error) AND quality_score >= 0.8 AS keep
+  FROM q)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1091,6 +1115,33 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        # the full per-document composite quality label — every column
+        # (including the continuous rule_score/quality_score floats) restated
+        # bit-exactly in SQL via the shared _keep_label_sql CTE chain
+        "doc_quality": f"""
+            WITH {_keep_label_sql("SELECT doc_id, text FROM documents",
+                                  keys="doc_id")}
+            SELECT doc_id, rule_pass, rule_score, feature_score,
+                   quality_score, keep
+            FROM k ORDER BY doc_id
+        """,
+        # byte-exact DFA scrub over documents (same RE2 restatement as
+        # transcripts_quality)
+        "doc_scrub": f"""
+            WITH sp AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '{_scrub_pattern_sql()}') AS parts,
+                     regexp_extract_all(lower(text), '{_scrub_pattern_sql()}') AS ms
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string([parts[i] ||
+                       CASE WHEN i <= len(ms)
+                            THEN repeat('*', length(ms[i])) ELSE '' END
+                       for i in generate_series(1, len(parts))], ''
+                   ) AS scrubbed_text,
+                   CAST(len(ms) AS INTEGER) AS sensitive_count
+            FROM sp ORDER BY doc_id
+        """,
         "doc_exact_dedup": """
             SELECT doc_id, text FROM (
                 SELECT doc_id, text,
@@ -1310,10 +1361,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM ({_DERIVE_SQL}))
             ORDER BY conv_id, turn_idx
         """,
-        # doc_quality / doc_scrub / doc_minhash_dedup / doc_fingerprints /
-        # knn_ivf / transcripts_quality / transcripts_minhash_dedup:
-        # non-SQL-expressible (stateful trie scan, weighted scoring quirks,
-        # MinHash permutations, LSH buckets) — rows-only driver check; strong
+        # the FULL per-turn quality surface: composite label columns (shared
+        # _keep_label_sql chain), langid, and the DFA scrub restated as an
+        # RE2 shortest-first alternation (see _scrub_pattern_sql) with the
+        # scrubbed string rebuilt by interleaving split parts with starred
+        # matches — bit/byte-exact at 3 SFs
+        "transcripts_quality": f"""
+            WITH {_keep_label_sql(_DERIVE_SQL)},
+            src AS (SELECT conv_id, turn_idx, text FROM ({_DERIVE_SQL})),
+            sp AS (
+              SELECT conv_id, turn_idx,
+                     regexp_split_to_array(lower(text), '{_scrub_pattern_sql()}') AS parts,
+                     regexp_extract_all(lower(text), '{_scrub_pattern_sql()}') AS ms
+              FROM src),
+            sc AS (
+              SELECT conv_id, turn_idx,
+                     array_to_string([parts[i] ||
+                         CASE WHEN i <= len(ms)
+                              THEN repeat('*', length(ms[i])) ELSE '' END
+                         for i in generate_series(1, len(parts))], ''
+                     ) AS scrubbed_text,
+                     CAST(len(ms) AS INTEGER) AS sensitive_count
+              FROM sp),
+            lg AS (
+              SELECT conv_id, turn_idx, {_LANGID_SQL_COLS}
+              FROM (SELECT conv_id, turn_idx, text,
+                           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
+                           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
+                    FROM src))
+            SELECT k.conv_id, k.turn_idx, rule_score, feature_score,
+                   quality_score, keep, scrubbed_text, sensitive_count, lang
+            FROM k
+            JOIN sc ON k.conv_id = sc.conv_id AND k.turn_idx = sc.turn_idx
+            JOIN lg ON k.conv_id = lg.conv_id AND k.turn_idx = lg.turn_idx
+            ORDER BY k.conv_id, k.turn_idx
+        """,
+        # doc_scrub / doc_minhash_dedup / doc_fingerprints /
+        # knn_ivf / transcripts_minhash_dedup:
+        # non-SQL-expressible (MinHash permutations, LSH buckets, rolling
+        # hash) — rows-only driver check; strong
         # parity gates live in tests/test_pipeline_parity.py (exact labels,
         # byte-exact scrub vs the independent oracle).
     }

@@ -324,7 +324,14 @@ def evaluate_rules_arrow(texts: list[str], cfg: RuleConfig, arrow_col=None) -> d
                         np.clip(cfg.max_url_density / np.where(url_r > 0, url_r, 1.0), 0.0, 0.3))
         s[8] = np.where(emoji_ok, 1.0,
                         np.clip(cfg.max_emoji_ratio / np.where(emoji_r > 0, emoji_r, 1.0), 0.0, 1.0))
-        weighted = (np.asarray(_WEIGHTS) @ s) / sum(_WEIGHTS)
+        # sequential accumulation, NOT `weights @ s`: BLAS dot reassociates
+        # (pairwise/FMA), giving ULP-different sums than the scalar path's
+        # left-to-right `sum(sc*w)` — this order is bit-identical to the
+        # scalar kernel and to the SQL oracle restatement (__ray_entry__)
+        weighted = _WEIGHTS[0] * s[0]
+        for wi, si in zip(_WEIGHTS[1:], s[1:]):
+            weighted += wi * si
+        weighted /= sum(_WEIGHTS)
 
         spam = ((vbar > 0) & (vbar_r > cfg.max_vertical_bar_ratio * 2)) | (
             url_r > cfg.max_url_density * 3
