@@ -364,3 +364,64 @@ def test_crawl_handoff_conv_id_unique_for_empty_record_ids(ray_session, tmp_path
     out2 = crawl_pages_to_transcripts(str(src), str(tmp_path / "tr2"))
     assert sorted(pads.dataset(out2).to_table().column("conv_id").to_pylist()) \
         == sorted(convs)
+
+
+# ----------------------------------------- scrub SQL-restatement equivalence
+
+
+def test_scrub_re2_alternation_matches_dfa_randomized():
+    """Property test behind the doc_scrub / transcripts_quality oracles: for
+    random word lists WITH planted prefix relations and adversarial texts,
+    the RE2 shortest-first alternation + split/star reconstruction (the SQL
+    oracle's construction) must reproduce DFAScrubber.filter byte-for-byte
+    and len(extract_all) == len(detect). Exercises the subtle equivalences:
+    leftmost-first == trie scan order, shortest-first alternation == trie
+    shortest match, prefix-shadowed words never matching."""
+    import random
+    import re
+
+    import duckdb
+
+    from chinese_corpus_cleaning_ray.functions.scrub import DFAScrubber
+
+    rng = random.Random(20260817)
+    alphabet = "ab你好qq色"
+    con = duckdb.connect()
+    for trial in range(40):
+        n_words = rng.randint(1, 8)
+        words = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4)))
+                 for _ in range(n_words)}
+        # plant prefix relations half the time (the shadowing case)
+        if trial % 2 and words:
+            w = rng.choice(sorted(words))
+            words.add(w + rng.choice(alphabet))
+        dfa = DFAScrubber(words)
+        # effective vocab: prefix-shadow filter, shortest-first (the oracle's
+        # _scrub_pattern_sql construction, restated locally)
+        vocab = sorted({w.lower().strip() for w in words if w.strip()})
+        vs = set(vocab)
+        eff = sorted((w for w in vocab
+                      if not any(w[:k] in vs for k in range(1, len(w)))),
+                     key=len)
+        pat = "|".join(re.escape(w) for w in eff)
+        for _ in range(8):
+            text = "".join(rng.choice(alphabet + "AB ，\n")
+                           for _ in range(rng.randint(0, 40)))
+            want = dfa.filter(text)
+            want_count = len(dfa.detect(text))
+            got, got_count = con.execute(
+                """
+                WITH sp AS (
+                  SELECT regexp_split_to_array(lower(?), ?) AS parts,
+                         regexp_extract_all(lower(?), ?) AS ms)
+                SELECT array_to_string([parts[i] ||
+                           CASE WHEN i <= len(ms)
+                                THEN repeat('*', length(ms[i])) ELSE '' END
+                           for i in generate_series(1, len(parts))], ''),
+                       len(ms)
+                FROM sp
+                """,
+                [text, pat, text, pat],
+            ).fetchone()
+            assert got == want, (sorted(words), text, got, want)
+            assert got_count == want_count, (sorted(words), text)

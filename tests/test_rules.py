@@ -69,7 +69,10 @@ def test_arrow_kernel_matches_scalar(sample_texts):
         r = rules.evaluate_rules(text, CFG)
         assert bool(fast["rule_pass"][i]) == r["rule_pass"], text[:50]
         assert bool(fast["rule_error"][i]) == r["rule_error"], text[:50]
-        assert fast["rule_score"][i] == pytest.approx(r["rule_score"], abs=1e-12), text[:50]
+        # BIT-identical, not approx: the vectorized path accumulates the
+        # weighted sum sequentially (same IEEE op order as the scalar spec
+        # and the SQL oracle) — the doc_quality oracle depends on this
+        assert fast["rule_score"][i] == r["rule_score"], text[:50]
         want = dict(zip(rules.CHECK_NAMES, r["checks"]))
         for name in rules.CHECK_NAMES:
             assert bool(fast["checks"][name][i]) == want[name], (text[:50], name)
