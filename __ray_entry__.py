@@ -198,6 +198,39 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+# Python's unicode \s, as an RE2 class body: RE2's \s is ASCII-only, so add
+# \p{Z} (separators incl. U+3000), NEL, and the \x1c-\x1f file separators
+_PY_WS = r"\s\p{Z}\x{85}\x{1C}-\x{1F}"
+
+
+def _token_stats_sql() -> str:
+    """Bit-exact SQL restatement of the add_token_stats operator, with the
+    char classes built from functions/tokens.py's own constants so the
+    oracle cannot drift from the kernel."""
+    import re as _re
+
+    from chinese_corpus_cleaning_ray.functions.tokens import _PUNCT, _ZH_STOPWORDS
+
+    punct_cls = "".join(_re.escape(c) for c in sorted(_PUNCT))
+    stop_cls = "".join(_re.escape(c) for c in sorted(_ZH_STOPWORDS))
+    # tokens.py _BPE_RE with Python-\s semantics spelled out for RE2
+    bpe_pat = (r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+|[一-鿿]"
+               f"|[^{_PY_WS}A-Za-z0-9一-鿿]")
+    return f"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[^{_PY_WS}]+')) AS BIGINT) AS ws_tokens,
+               CAST(length(regexp_extract_all(text, '{bpe_pat}')) AS BIGINT) AS bpe_tokens,
+               length(text) AS n_chars,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 length(regexp_extract_all(text, '[{_sql_quote(punct_cls)}]'))
+                 / length(text) END AS punct_ratio,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 length(regexp_extract_all(text, '[{stop_cls}]'))
+                 / length(text) END AS stopword_ratio
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _scrub_pattern_sql() -> str:
     """RE2 alternation equivalent to the DFA scrub trie
     (functions/scrub.py): effective (non-prefix-shadowed) words sorted
@@ -524,23 +557,24 @@ def _q_doc_langid(sf_dir: str):
 
 
 def _q_doc_token_stats(sf_dir: str):
-    from chinese_corpus_cleaning_ray.functions.tokens import ws_token_count
+    """Full token/quality-signal surface of the add_token_stats operator:
+    whitespace tokens, BPE-ish regex tokens, char count, punctuation and
+    stopword ratios — all SQL-oracled bit-exactly."""
+    from chinese_corpus_cleaning_ray.stages.analysis import add_token_stats
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "ws_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
-                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-            }
-        )
+    def with_nchars(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch.column("text")), pa.int64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id", kind="mergesort"
-    ).reset_index(drop=True)
+    out = add_token_stats(ds).map_batches(
+        with_nchars, batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens", "n_chars",
+         "punct_ratio", "stopword_ratio"]
+    )
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
 def _q_doc_exact_dedup(sf_dir: str):
@@ -1109,12 +1143,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             ORDER BY doc_id
         """,
-        "doc_token_stats": r"""
-            SELECT doc_id,
-                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
-                   length(text) AS n_chars
-            FROM documents ORDER BY doc_id
-        """,
+        "doc_token_stats": _token_stats_sql(),
         # the full per-document composite quality label — every column
         # (including the continuous rule_score/quality_score floats) restated
         # bit-exactly in SQL via the shared _keep_label_sql CTE chain

@@ -425,3 +425,40 @@ def test_scrub_re2_alternation_matches_dfa_randomized():
             ).fetchone()
             assert got == want, (sorted(words), text, got, want)
             assert got_count == want_count, (sorted(words), text)
+
+
+def test_token_stats_oracle_matches_kernel_on_unicode_whitespace():
+    """The token-stats SQL oracle must agree with the Python kernels on
+    texts containing UNICODE whitespace (U+3000 ideographic space, NBSP,
+    NEL, LINE SEPARATOR): Python's \\s matches these, RE2's ASCII \\s does
+    not — the oracle's _PY_WS class closes that gap. Also covers empty
+    text (ratio guards), control separators, and emoji/punct mixes."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+    from chinese_corpus_cleaning_ray.functions.tokens import (
+        bpe_token_count,
+        quality_signals,
+        ws_token_count,
+    )
+
+    texts = [
+        "你 好　世界",        # U+3000 splits in Python
+        "a bcd e",                # NBSP, NEL, LINE SEP
+        "",
+        "。。！？emoji\U0001F600mix，，",
+        "的了是 在我有和 plain text 123 isn't",
+        "ctrl\x1cseparators\x1ftoo",
+    ]
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(E._token_stats_sql()).df()
+    for i, t in enumerate(texts):
+        sig = quality_signals(t)
+        assert got["ws_tokens"][i] == ws_token_count(t), (i, t)
+        assert got["bpe_tokens"][i] == bpe_token_count(t), (i, t)
+        assert got["n_chars"][i] == len(t)
+        assert got["punct_ratio"][i] == sig["punct_ratio"], (i, t)
+        assert got["stopword_ratio"][i] == sig["stopword_ratio"], (i, t)
