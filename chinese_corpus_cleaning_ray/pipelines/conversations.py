@@ -73,14 +73,11 @@ def topk_per_group(ds, group_col: str, key_col: str, k: int = 3):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "g": batch.column(group_col).to_pylist(),
-            "u": batch.column(key_col).to_pylist(),
-        })
-        agg = df.groupby(["g", "u"], sort=False).size().reset_index(name="n")
-        return pa.table({group_col: pa.array(agg["g"]),
-                         key_col: pa.array(agg["u"]),
-                         "n": pa.array(agg["n"], pa.int64())})
+        # Arrow-native hash aggregation (C++, zero-copy) — no pylist/pandas
+        agg = (batch.select([group_col, key_col])
+               .group_by([group_col, key_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns([group_col, key_col, "n"])
 
     counts = (
         ds.map_batches(partials, batch_format="pyarrow")
