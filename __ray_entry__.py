@@ -1007,6 +1007,38 @@ def _q_doc_winnow_fingerprints(sf_dir: str):
     )
 
 
+_BOILER_HEADER = "cookie notice accept all cookies to continue"
+_BOILER_FOOTER = "subscribe to our newsletter for daily updates"
+
+
+def _q_doc_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup (CCNet/C4-style boilerplate removal).
+
+    The synthetic documents are single-line, so the query derives paragraph
+    structure deterministically on BOTH sides: each doc becomes
+    header\\n<text>\\nfooter with a shared boilerplate header/footer. The
+    operator then keeps each distinct paragraph only at its first corpus
+    occurrence — the boilerplate survives only in the min-doc_id document,
+    and documents whose body is a duplicate of an earlier one lose every
+    paragraph and drop out entirely."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_boiler(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), batch.column("text"),
+            pa.scalar(_BOILER_FOOTER), pa.scalar("\n"))
+        return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
+
+    out = paragraph_dedup(ds.map_batches(add_boiler, batch_format="pyarrow"),
+                          id_col="doc_id")
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_emb_dbscan_clusters(sf_dir: str):
     """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
     LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
@@ -1050,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
@@ -1300,6 +1333,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2
                             WHERE f2.text = fresh.text)
             ORDER BY doc_id
+        """,
+        # CCNet/C4-style corpus-wide paragraph dedup: boilerplate derivation
+        # (header\n<text>\nfooter) restated verbatim, then keep each distinct
+        # paragraph only at its min-(doc_id, para_idx) occurrence; sub-1-char
+        # paragraphs always survive; docs reassemble from survivors and drop
+        # when nothing survives — mirrors stages/dedup_stage.py:paragraph_dedup
+        "doc_paragraph_dedup": """
+            WITH boiler AS (
+                SELECT doc_id,
+                       'cookie notice accept all cookies to continue' || chr(10)
+                       || text || chr(10)
+                       || 'subscribe to our newsletter for daily updates' AS text
+                FROM documents
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS para_idx
+                FROM boiler
+            ), ranked AS (
+                SELECT doc_id, para_idx, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, para_idx) AS rn
+                FROM paras WHERE length(para) >= 1
+            ), kept AS (
+                SELECT doc_id, para_idx, para FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, para_idx, para FROM paras WHERE length(para) < 1
+            )
+            SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         # per-source quota sample: smallest LCG-hash(doc_id) wins, ties by
         # doc_id — mirrors stages/analysis.py:stratified_sample verbatim

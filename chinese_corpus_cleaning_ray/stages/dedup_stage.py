@@ -802,3 +802,106 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
     )
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
+
+
+def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n", min_len: int = 1,
+                    shards: int | None = None,
+                    target_paras_per_shard: int = 1 << 16,
+                    num_rows_hint: int | None = None):
+    """Corpus-wide paragraph (line) dedup, CCNet/C4 style: split each
+    document on ``sep``, keep only the FIRST occurrence of every distinct
+    paragraph across the whole corpus, and reassemble documents from their
+    surviving paragraphs. This is the boilerplate-removal pass large
+    training-data pipelines run before document-level dedup (repeated
+    headers/footers/navigation lines vanish everywhere but their first
+    sighting).
+
+    Exact semantics (bit-restatable in SQL — see ``doc_paragraph_dedup`` in
+    ``__ray_entry__.py``):
+
+    - paragraphs shorter than ``min_len`` characters ALWAYS survive
+      (``min_len=1`` preserves empty lines, i.e. paragraph structure);
+    - among the corpus-wide occurrences of a distinct paragraph string, the
+      one with the smallest ``(id, para_idx)`` survives; the rest drop;
+    - a document reassembles as its surviving paragraphs joined by ``sep``
+      in original order; a document with ZERO surviving paragraphs drops
+      out of the result entirely.
+
+    Scale shape: two coarse-shard groupbys. The dedup shuffle keys on a
+    power-of-two shard of the paragraph content hash (all copies of a
+    paragraph share a shard at any shard count ⇒ output is
+    shard-count-invariant); sub-``min_len`` paragraphs shard by DOCUMENT
+    hash instead so the corpus's billions of identical blank lines never
+    converge on one worker. The reassembly shuffle keys on a shard of the
+    document id. Paragraph text moves through both shuffles — the payload
+    is the corpus itself, same as ``exact_dedup``; there is no driver-side
+    collection anywhere. ``num_rows_hint`` sidesteps the sizing
+    ``ds.count()`` for derived inputs (same contract as ``exact_dedup``).
+
+    Returns a Dataset with columns ``(id_col, text_col)``.
+    """
+    if shards is None:
+        n = num_rows_hint if num_rows_hint is not None else ds.count()
+        # paragraphs-per-doc is unknown here; aim the knob at the doc count
+        # with a smaller per-shard target — purely a memory bound.
+        shards = _pow2_shards(n, max(1, target_paras_per_shard // 8), lo=64)
+    doc_shards = shards
+    id_type = None
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id: list = []
+        out_idx: list = []
+        out_para: list = []
+        out_shard: list = []
+        out_ded: list = []
+        for i, t in zip(ids, texts):
+            parts = (t if t is not None else "").split(sep)
+            dshard = text_hash64(str(i)) & (doc_shards - 1)
+            for j, p in enumerate(parts):
+                out_id.append(i)
+                out_idx.append(j)
+                out_para.append(p)
+                if len(p) >= min_len:
+                    out_shard.append(text_hash64(p) & (shards - 1))
+                    out_ded.append(True)
+                else:
+                    # short paragraphs bypass dedup; shard them by DOC hash
+                    # so identical blank lines spread across shards
+                    out_shard.append(dshard)
+                    out_ded.append(False)
+        return pa.table({
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "para_idx": pa.array(out_idx, pa.int32()),
+            "para": pa.array(out_para, pa.string()),
+            "shard": pa.array(out_shard, pa.int32()),
+            "_ded": pa.array(out_ded, pa.bool_()),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        ded = g[g["_ded"]]
+        if len(ded):
+            ded = ded.sort_values([id_col, "para_idx"], kind="mergesort")
+            ded = ded.drop_duplicates(subset=["para"], keep="first")
+        out = pd.concat([ded, g[~g["_ded"]]]) if (~g["_ded"]).any() else ded
+        out = out.drop(columns=["_ded"])
+        # re-key the shuffle for reassembly: shard of the DOC id
+        out["shard"] = [text_hash64(str(i)) & (doc_shards - 1)
+                        for i in out[id_col]]
+        return out
+
+    def rejoin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "para_idx"], kind="mergesort")
+        agg = g.groupby(id_col, sort=True)["para"].agg(sep.join)
+        return pd.DataFrame({id_col: agg.index.to_numpy(),
+                             text_col: agg.to_numpy()})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(rejoin, batch_format="pandas")
+    )

@@ -462,3 +462,59 @@ def test_token_stats_oracle_matches_kernel_on_unicode_whitespace():
         assert got["n_chars"][i] == len(t)
         assert got["punct_ratio"][i] == sig["punct_ratio"], (i, t)
         assert got["stopword_ratio"][i] == sig["stopword_ratio"], (i, t)
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """Corpus-wide paragraph dedup: boilerplate survives only at its first
+    occurrence, full-dup docs vanish (unless an always-kept short paragraph
+    remains), empty paragraphs preserve structure, and the output is
+    shard-count-invariant."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(6)],
+        "text": [
+            "header\nalpha beta\n\nfooter",
+            "header\ngamma delta\n\nfooter",
+            "header\nalpha beta\n\nfooter",   # body dup of d000
+            "unique only line",
+            "header\nfooter",                  # every para a dup -> vanishes
+            "\n\n",                            # only empty paras -> kept as-is
+        ],
+    })
+    expect = {
+        "d000": "header\nalpha beta\n\nfooter",
+        "d001": "gamma delta\n",    # header/footer dropped, empty kept
+        "d002": "",                 # paras all dropped, one empty survives
+        "d003": "unique only line",
+        "d005": "\n\n",
+    }
+    for shards in (64, 256):
+        out = (paragraph_dedup(ray.data.from_pandas(docs), id_col="doc_id",
+                               shards=shards)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert dict(zip(out["doc_id"], out["text"])) == expect, shards
+
+
+def test_paragraph_dedup_min_len_and_int_ids(ray_session):
+    """min_len routes short paragraphs around dedup entirely; int64 ids order
+    numerically (matching SQL ORDER BY doc_id)."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([9, 2, 10], dtype="int64"),
+        "text": ["ab\nlong paragraph here", "ab\nlong paragraph here", "ab"],
+    })
+    # min_len=3: "ab" is short -> survives in EVERY doc; long para dedups to
+    # the min doc_id (2, numerically — not "10" as a string sort would pick)
+    out = (paragraph_dedup(ray.data.from_pandas(docs), id_col="doc_id",
+                           min_len=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dict(zip(out["doc_id"], out["text"])) == {
+        2: "ab\nlong paragraph here", 9: "ab", 10: "ab"}
