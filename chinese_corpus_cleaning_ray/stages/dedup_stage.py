@@ -849,35 +849,44 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     doc_shards = shards
     id_type = None
 
+    def _shard_of(values: np.ndarray, mask: int) -> np.ndarray:
+        # shard hashes only need DETERMINISM (all copies of a key on one
+        # shard); pd.util.hash_array is a vectorized fixed-key siphash —
+        # same trick as the jaccard gram sharding below.
+        return (pd.util.hash_array(values).astype(np.int64) & mask).astype(np.int32)
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_id: list = []
-        out_idx: list = []
-        out_para: list = []
-        out_shard: list = []
-        out_ded: list = []
-        for i, t in zip(ids, texts):
-            parts = (t if t is not None else "").split(sep)
-            dshard = text_hash64(str(i)) & (doc_shards - 1)
-            for j, p in enumerate(parts):
-                out_id.append(i)
-                out_idx.append(j)
-                out_para.append(p)
-                if len(p) >= min_len:
-                    out_shard.append(text_hash64(p) & (shards - 1))
-                    out_ded.append(True)
-                else:
-                    # short paragraphs bypass dedup; shard them by DOC hash
-                    # so identical blank lines spread across shards
-                    out_shard.append(dshard)
-                    out_ded.append(False)
+        # fully Arrow-vectorized explode: split -> flatten, with parent/
+        # position indices derived from the list offsets (no Python loop
+        # over paragraphs — this stage touches the entire corpus).
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            # flatten to ONE chunk first: list_parent_indices is chunk-local,
+            # so multi-chunk input would reset parent ids mid-batch
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        parts = pc.split_pattern(txt, sep)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        para_idx = (np.arange(len(flat), dtype=np.int64) - starts).astype(np.int32)
+        ids = batch.column(id_col).take(pa.array(parent))
+        ded = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(
+            zero_copy_only=False)
+        paras_np = np.asarray(flat.to_pylist(), dtype=object)
+        shard = np.empty(len(flat), dtype=np.int32)
+        # dedupable paragraphs shard by CONTENT hash; short ones bypass dedup
+        # and shard by DOC hash so corpus-wide blank lines spread out
+        shard[ded] = _shard_of(paras_np[ded], shards - 1)
+        id_np = ids.to_numpy(zero_copy_only=False)
+        shard[~ded] = _shard_of(id_np[~ded], doc_shards - 1)
         return pa.table({
-            id_col: pa.array(out_id, batch.schema.field(id_col).type),
-            "para_idx": pa.array(out_idx, pa.int32()),
-            "para": pa.array(out_para, pa.string()),
-            "shard": pa.array(out_shard, pa.int32()),
-            "_ded": pa.array(out_ded, pa.bool_()),
+            id_col: ids,
+            "para_idx": pa.array(para_idx),
+            "para": flat,
+            "shard": pa.array(shard),
+            "_ded": pa.array(ded),
         })
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -888,8 +897,7 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         out = pd.concat([ded, g[~g["_ded"]]]) if (~g["_ded"]).any() else ded
         out = out.drop(columns=["_ded"])
         # re-key the shuffle for reassembly: shard of the DOC id
-        out["shard"] = [text_hash64(str(i)) & (doc_shards - 1)
-                        for i in out[id_col]]
+        out["shard"] = _shard_of(out[id_col].to_numpy(), doc_shards - 1)
         return out
 
     def rejoin(g: pd.DataFrame) -> pd.DataFrame:
