@@ -88,7 +88,8 @@ def run_bench() -> dict:
         for name in ("agg_pricing_summary", "join_orders_by_nation", "events_hourly",
                      "doc_quality", "doc_minhash_dedup", "doc_jaccard_dedup",
                      "events_topk_per_type", "knn_brute", "transcripts_quality",
-                     "doc_top_ngrams", "doc_contamination"):
+                     "doc_top_ngrams", "doc_contamination",
+                     "doc_paragraph_dedup"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):
