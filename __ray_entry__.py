@@ -1010,6 +1010,17 @@ def _q_doc_winnow_fingerprints(sf_dir: str):
 _BOILER_HEADER = "cookie notice accept all cookies to continue"
 _BOILER_FOOTER = "subscribe to our newsletter for daily updates"
 
+# SQL restatement of doc_clean_pipeline's deterministic injection (pipe-flood
+# rule-killer paragraphs / reversed-body + sensitive-term paragraphs)
+_INJECT_SQL = """(
+    SELECT doc_id,
+      CASE WHEN doc_id % 11 = 3
+             THEN text || chr(10) || repeat('|', 64) || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 7 = 2
+             THEN text || chr(10) || reverse(text) || ' 办证'
+           ELSE text END AS text
+    FROM documents) inj"""
+
 
 def _q_doc_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph dedup (CCNet/C4-style boilerplate removal).
@@ -1036,6 +1047,92 @@ def _q_doc_paragraph_dedup(sf_dir: str):
 
     out = paragraph_dedup(ds.map_batches(add_boiler, batch_format="pyarrow"),
                           id_col="doc_id")
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _paragraph_dedup_sql(source: str = "documents") -> str:
+    """Self-contained SELECT (nested WITH) producing the paragraph-deduped
+    (doc_id, text) corpus with the shared boilerplate derivation — the SQL
+    restatement of add-boilerplate → stages/dedup_stage.py:paragraph_dedup,
+    reused by doc_paragraph_dedup and composed into doc_clean_pipeline
+    (which passes an injected ``source`` relation)."""
+    return f"""
+            WITH boiler AS (
+                SELECT doc_id,
+                       '{_BOILER_HEADER}' || chr(10) || text || chr(10)
+                       || '{_BOILER_FOOTER}' AS text
+                FROM {source}
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS para_idx
+                FROM boiler
+            ), ranked AS (
+                SELECT doc_id, para_idx, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, para_idx) AS rn
+                FROM paras WHERE length(para) >= 1
+            ), kept AS (
+                SELECT doc_id, para_idx, para FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, para_idx, para FROM paras WHERE length(para) < 1
+            )
+            SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS text
+            FROM kept GROUP BY doc_id"""
+
+
+def _q_doc_clean_pipeline(sf_dir: str):
+    """The composed cleaning RECIPE a corpus user actually runs, end to end:
+    boilerplate paragraph dedup → exact document dedup → composite quality
+    keep → PII/sensitive scrub. Every stage is individually bit-exact-oracled
+    elsewhere; this query pins the COMPOSITION (operator chaining over derived
+    Datasets, row-count hints instead of derived counts) against the nested
+    CTE chain of the same four restatements.
+
+    The raw synthetic docs all pass quality and contain no sensitive terms,
+    so the derivation injects two deterministic classes (restated verbatim
+    in SQL): docs with doc_id % 11 == 3 gain a unique pipe-flood paragraph
+    (fails the vertical-bar rule → dropped by keep); docs with
+    doc_id % 7 == 2 gain a reversed-body paragraph ending in a sensitive
+    term (ratio-diluted: most stay kept and show a visibly scrubbed
+    sensitive_count, a few drop on feature score). Measured split at
+    sf0.01: 388 plain kept / 60 kept-with-scrub / 52 dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        exact_dedup,
+        paragraph_dedup,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # metadata-only on a raw parquet read
+
+    def inject_and_boiler(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 11 == 3:
+                t = f"{t}\n{'|' * 64}{i}"
+            elif i % 7 == 2:
+                t = f"{t}\n{t[::-1]} 办证"
+            out.append(f"{_BOILER_HEADER}\n{t}\n{_BOILER_FOOTER}")
+        return batch.set_column(batch.schema.get_field_index("text"), "text",
+                                pa.array(out, pa.string()))
+
+    ds = paragraph_dedup(ds.map_batches(inject_and_boiler, batch_format="pyarrow"),
+                         id_col="doc_id", num_rows_hint=n_docs)
+    ds = exact_dedup(ds, id_col="doc_id", num_rows_hint=n_docs)
+    out = build_quality_pipeline(ds, DEFAULT_CONFIG)
+
+    def kept_scrubbed(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch.column("keep"))
+        return b.select(["doc_id", "scrubbed_text", "sensitive_count"])
+
+    out = out.map_batches(kept_scrubbed, batch_format="pyarrow")
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
@@ -1083,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
@@ -1339,30 +1437,34 @@ def oracle_sql() -> dict[str, str]:
         # paragraph only at its min-(doc_id, para_idx) occurrence; sub-1-char
         # paragraphs always survive; docs reassemble from survivors and drop
         # when nothing survives — mirrors stages/dedup_stage.py:paragraph_dedup
-        "doc_paragraph_dedup": """
-            WITH boiler AS (
-                SELECT doc_id,
-                       'cookie notice accept all cookies to continue' || chr(10)
-                       || text || chr(10)
-                       || 'subscribe to our newsletter for daily updates' AS text
-                FROM documents
-            ), paras AS (
-                SELECT doc_id,
-                       unnest(string_split(text, chr(10))) AS para,
-                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS para_idx
-                FROM boiler
-            ), ranked AS (
-                SELECT doc_id, para_idx, para,
-                       row_number() OVER (PARTITION BY para
-                                          ORDER BY doc_id, para_idx) AS rn
-                FROM paras WHERE length(para) >= 1
-            ), kept AS (
-                SELECT doc_id, para_idx, para FROM ranked WHERE rn = 1
-                UNION ALL
-                SELECT doc_id, para_idx, para FROM paras WHERE length(para) < 1
-            )
-            SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS text
-            FROM kept GROUP BY doc_id ORDER BY doc_id
+        "doc_paragraph_dedup": f"{_paragraph_dedup_sql()} ORDER BY doc_id",
+        # the composed recipe: paragraph dedup → exact dedup → quality keep →
+        # scrub, each stage the SAME restatement as its standalone oracle,
+        # chained (nested WITH as the _keep_label_sql derive + a join back to
+        # t for the kept text)
+        "doc_clean_pipeline": f"""
+            WITH {_keep_label_sql(f'''
+                WITH pd AS ({_paragraph_dedup_sql(source=_INJECT_SQL)})
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                    FROM pd) WHERE rn = 1''', keys="doc_id")},
+            kd AS (SELECT t.doc_id, t.text
+                   FROM t JOIN k USING (doc_id) WHERE k.keep),
+            sp AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '{_scrub_pattern_sql()}') AS parts,
+                     regexp_extract_all(lower(text), '{_scrub_pattern_sql()}') AS ms
+              FROM kd)
+            SELECT doc_id,
+                   array_to_string([parts[i] ||
+                       CASE WHEN i <= len(ms)
+                            THEN repeat('*', length(ms[i])) ELSE '' END
+                       for i in generate_series(1, len(parts))], ''
+                   ) AS scrubbed_text,
+                   CAST(len(ms) AS INTEGER) AS sensitive_count
+            FROM sp ORDER BY doc_id
         """,
         # per-source quota sample: smallest LCG-hash(doc_id) wins, ties by
         # doc_id — mirrors stages/analysis.py:stratified_sample verbatim
