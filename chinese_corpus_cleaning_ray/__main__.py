@@ -117,6 +117,17 @@ def main(argv: list[str] | None = None) -> int:
                          "(ref:process_documents.py --vectorize; deterministic "
                          "fake embedder unless transformers is installed)")
 
+    pdp = sub.add_parser("paradedup")
+    pdp.add_argument("--input", required=True,
+                     help="parquet with id+text columns")
+    pdp.add_argument("--output", required=True)
+    pdp.add_argument("--id-col", default="doc_id")
+    pdp.add_argument("--text-col", default="text")
+    pdp.add_argument("--sep", default="\n")
+    pdp.add_argument("--min-len", type=int, default=1,
+                     help="paragraphs shorter than this always survive")
+    pdp.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -204,6 +215,39 @@ def main(argv: list[str] | None = None) -> int:
                 ).write_parquet(os.path.join(args.output, "embeddings"))
             stats = quality_counters(scored)  # ungrouped aggregate → dict
             print(json.dumps({k: int(v) for k, v in stats.items()}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "paradedup":
+        # corpus-wide paragraph/line dedup (CCNet/C4-style boilerplate
+        # removal) as a standalone preprocessing pass: parquet in, cleaned
+        # (id, text) parquet out, with before/after row+char counters
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.text_col])
+            n_in = ds.count()
+            out = paragraph_dedup(ds, id_col=args.id_col,
+                                  text_col=args.text_col, sep=args.sep,
+                                  min_len=args.min_len,
+                                  num_rows_hint=n_in).materialize()
+            out.write_parquet(args.output)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            chars_out = int(out.map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [pc.sum(pc.utf8_length(t.column(args.text_col))).as_py() or 0],
+                    pa.int64())}),
+                batch_format="pyarrow").sum("n") or 0)
+            print(json.dumps({"docs_in": n_in, "docs_out": out.count(),
+                              "chars_out": chars_out, "output": args.output}))
             return 0
         finally:
             if owned:

@@ -518,3 +518,78 @@ def test_paragraph_dedup_min_len_and_int_ids(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert dict(zip(out["doc_id"], out["text"])) == {
         2: "ab\nlong paragraph here", 9: "ab", 10: "ab"}
+
+
+def test_paragraph_dedup_randomized_vs_naive(ray_session):
+    """Randomized equivalence: paragraph_dedup == a naive single-process
+    reference (dict of first occurrences) on corpora with heavy cross-doc
+    paragraph overlap, mixed empty lines, and duplicate whole docs."""
+    import random
+
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    rng = random.Random(1234)
+    pool = [f"para {i} {'x' * (i % 7)}" for i in range(30)] + ["", " "]
+    for trial in range(3):
+        docs = pd.DataFrame({
+            "doc_id": [f"d{i:04d}" for i in range(120)],
+            "text": ["\n".join(rng.choice(pool)
+                               for _ in range(rng.randint(0, 6)))
+                     for _ in range(120)],
+        })
+
+        min_len = rng.choice([1, 2])
+        # naive reference
+        seen: set[str] = set()
+        expect: dict[str, str] = {}
+        for did, txt in zip(docs["doc_id"], docs["text"]):
+            kept = []
+            for p in txt.split("\n"):
+                if len(p) < min_len:
+                    kept.append(p)
+                elif p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            if kept:
+                expect[did] = "\n".join(kept)
+
+        out = (paragraph_dedup(ray.data.from_pandas(docs), id_col="doc_id",
+                               min_len=min_len, shards=64)
+               .to_pandas())
+        assert dict(zip(out["doc_id"], out["text"])) == expect, (trial, min_len)
+
+
+def test_paradedup_cli(ray_session, tmp_path):
+    """paradedup CLI: parquet in -> paragraph-deduped parquet out + JSON
+    counters; shared boilerplate lines survive only in the first doc."""
+    import contextlib
+    import io
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from chinese_corpus_cleaning_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": ["boiler\nbody zero", "boiler\nbody one",
+                 "boiler\nbody two", "boiler\nbody zero"],
+    }), src)
+    out = str(tmp_path / "clean")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["paradedup", "--input", src, "--output", out])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # doc 3 loses both its paragraphs (boiler + dup body) and drops out
+    assert stats["docs_in"] == 4 and stats["docs_out"] == 3
+    t = pads.dataset(out).to_table().sort_by("doc_id")
+    assert t.column("text").to_pylist() == [
+        "boiler\nbody zero", "body one", "body two"]
+    assert stats["chars_out"] == sum(len(s) for s in t.column("text").to_pylist())
