@@ -997,6 +997,20 @@ def _q_doc_stratified_sample(sf_dir: str):
     )
 
 
+def _q_doc_token_budget(sf_dir: str):
+    """Token-mass data mixing: per source, keep docs in LCG-hash order until
+    400 cumulative whitespace tokens (inclusive)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import token_budget_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = token_budget_sample(ds, key_col="source", id_col="doc_id",
+                              budget_tokens=400)
+    return (
+        out.select_columns(["doc_id", "source", "ws_tokens"])
+        .to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_winnow_fingerprints(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.analysis import winnow_fingerprints
 
@@ -1178,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_token_budget": _q_doc_token_budget,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
@@ -1477,6 +1492,23 @@ def oracle_sql() -> dict[str, str]:
                                     % 2147483648, doc_id) AS rnk
                 FROM documents)
             WHERE rnk <= 5 ORDER BY doc_id
+        """,
+        # token-mass mixing quota: inclusive running ws-token sum per source
+        # in LCG-hash order ≤ 400 — mirrors analysis.py:token_budget_sample
+        # (integer cumsum ⇒ exact; same LCG arithmetic as stratified_sample)
+        "doc_token_budget": f"""
+            SELECT doc_id, source, ws_tokens FROM (
+                SELECT doc_id, source, ws_tokens,
+                       SUM(ws_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                                    % 2147483648, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT doc_id, source,
+                             CAST(length(regexp_extract_all(text, '[^{_PY_WS}]+'))
+                                  AS BIGINT) AS ws_tokens
+                      FROM documents))
+            WHERE cum <= 400 ORDER BY doc_id
         """,
         # winnowing fingerprint: min MD5 over 64-char windows at stride 32
         # (whole text when shorter) — mirrors winnow_fingerprints verbatim;

@@ -153,6 +153,50 @@ def stratified_sample(ds, key_col: str, id_col: str, per_key: int,
     )
 
 
+def token_budget_sample(ds, key_col: str, id_col: str, budget_tokens: int,
+                        text_col: str = "text",
+                        mult: int = 1103515245, inc: int = 12345,
+                        mod: int = 2147483648, shards: int = 256):
+    """Per-key TOKEN-budget sampling — the data-mixing primitive that selects
+    by token MASS instead of document count ("≤ B whitespace tokens per
+    source"): within each key, walk rows in deterministic LCG-hash(id) order
+    and keep while the running inclusive token total stays ≤ ``budget_tokens``.
+    Bit-reproducible (integer cumsum, same LCG arithmetic as
+    ``stratified_sample``); ids must be non-negative integers.
+
+    Plan: identical shape to ``stratified_sample`` — token counts computed
+    at the scan (counts move through the shuffle, text does too only because
+    callers usually want it back), hash shard of the key so a key never
+    splits, one vectorized sort + per-key cumsum per shard. Appends a
+    ``ws_tokens`` column to the survivors."""
+    import numpy as np
+    import pandas as pd
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % mod) * mult + inc) % mod
+        toks = np.fromiter((ws_token_count(t)
+                            for t in batch.column(text_col).to_pylist()),
+                           dtype=np.int64, count=batch.num_rows)
+        keys = pd.Series(batch.column(key_col).to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return (batch.append_column("__h", pa.array(h))
+                .append_column("ws_tokens", pa.array(toks))
+                .append_column("__shard", pa.array(sh)))
+
+    def budget(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "__h", id_col], kind="mergesort")
+        cum = g.groupby(key_col, sort=False)["ws_tokens"].cumsum()
+        return g.loc[cum <= budget_tokens].drop(columns=["__h", "__shard"])
+
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(budget, batch_format="pandas")
+    )
+
+
 def top_ngrams(ds, text_col: str = "text", id_col: str = "doc_id",
                k: int = 5, top: int = 20, shards: int | None = None,
                target_docs_per_shard: int = 2048):

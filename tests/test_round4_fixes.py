@@ -593,3 +593,38 @@ def test_paradedup_cli(ray_session, tmp_path):
     assert t.column("text").to_pylist() == [
         "boiler\nbody zero", "body one", "body two"]
     assert stats["chars_out"] == sum(len(s) for s in t.column("text").to_pylist())
+
+
+def test_token_budget_sample_planted(ray_session):
+    """Inclusive running-total semantics in LCG order: keep while
+    cumsum(ws_tokens) <= budget, per key, deterministic across shard counts."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.functions.tokens import ws_token_count
+    from chinese_corpus_cleaning_ray.stages.analysis import token_budget_sample
+
+    mult, inc, mod = 1103515245, 12345, 2147483648
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(8), dtype="int64"),
+        "source": ["s1"] * 5 + ["s2"] * 3,
+        "text": ["one two three", "four", "five six", "seven eight nine ten",
+                 "a b", "x " * 10, "y", "z z z"],
+    })
+    # naive reference
+    toks = {i: ws_token_count(t) for i, t in zip(docs.doc_id, docs.text)}
+    expect = set()
+    for src, grp in docs.groupby("source"):
+        order = sorted(grp.doc_id, key=lambda i: (((i % mod) * mult + inc) % mod, i))
+        cum = 0
+        for i in order:
+            cum += toks[i]
+            if cum <= 5:
+                expect.add(i)
+    for shards in (16, 256):
+        out = token_budget_sample(ray.data.from_pandas(docs), key_col="source",
+                                  id_col="doc_id", budget_tokens=5,
+                                  shards=shards).to_pandas()
+        assert set(out.doc_id) == expect, shards
+        assert dict(zip(out.doc_id, out.ws_tokens)) == {
+            i: toks[i] for i in expect}
