@@ -875,16 +875,39 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         ded = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(
             zero_copy_only=False)
         paras_np = np.asarray(flat.to_pylist(), dtype=object)
-        shard = np.empty(len(flat), dtype=np.int32)
+        id_np = ids.to_numpy(zero_copy_only=False)
+
+        # batch-local pre-collapse (the boilerplate-skew valve): among the
+        # dedupable instances of one distinct paragraph in THIS batch, only
+        # the min-(id, para_idx) one can possibly be the global keeper — the
+        # rest are provably dropped, so drop them BEFORE the shuffle. A
+        # header/footer occurring in every document ships once per batch
+        # instead of once per document, and the content-hash hot shard that
+        # would otherwise collect every copy corpus-wide stays per-batch
+        # bounded. Bit-exact: global min = min over batch minima.
+        keep = np.ones(len(flat), dtype=bool)
+        if ded.any():
+            dpos = np.flatnonzero(ded)
+            sub = pd.DataFrame({
+                "c": pd.factorize(paras_np[dpos])[0],
+                "i": id_np[dpos], "x": para_idx[dpos], "pos": dpos,
+            }).sort_values(["i", "x"], kind="mergesort")
+            keep[sub.loc[sub["c"].duplicated(), "pos"].to_numpy()] = False
+            ded = ded[keep]
+            paras_np = paras_np[keep]
+            id_np = id_np[keep]
+            para_idx = para_idx[keep]
+
+        shard = np.empty(len(id_np), dtype=np.int32)
         # dedupable paragraphs shard by CONTENT hash; short ones bypass dedup
         # and shard by DOC hash so corpus-wide blank lines spread out
         shard[ded] = _shard_of(paras_np[ded], shards - 1)
-        id_np = ids.to_numpy(zero_copy_only=False)
         shard[~ded] = _shard_of(id_np[~ded], doc_shards - 1)
+        mask = pa.array(keep)
         return pa.table({
-            id_col: ids,
+            id_col: ids.filter(mask) if keep.size and not keep.all() else ids,
             "para_idx": pa.array(para_idx),
-            "para": flat,
+            "para": flat.filter(mask) if keep.size and not keep.all() else flat,
             "shard": pa.array(shard),
             "_ded": pa.array(ded),
         })

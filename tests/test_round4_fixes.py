@@ -628,3 +628,28 @@ def test_token_budget_sample_planted(ray_session):
         assert set(out.doc_id) == expect, shards
         assert dict(zip(out.doc_id, out.ws_tokens)) == {
             i: toks[i] for i in expect}
+
+
+def test_paragraph_dedup_batch_local_precollapse(ray_session):
+    """The boilerplate-skew valve: a paragraph shared by EVERY doc must not
+    change the result, and a large single-batch corpus must still match the
+    naive reference exactly (the pre-collapse is provably lossless)."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    n = 5_000
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(n), dtype="int64"),
+        "text": [f"shared boilerplate header\nunique body {i}\nshared footer"
+                 for i in range(n)],
+    })
+    out = (paragraph_dedup(ray.data.from_pandas(docs), id_col="doc_id",
+                           shards=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == n
+    assert out.loc[0, "text"] == ("shared boilerplate header\nunique body 0"
+                                  "\nshared footer")
+    assert (out.loc[1:, "text"] == [f"unique body {i}"
+                                    for i in range(1, n)]).all()
