@@ -248,6 +248,31 @@ def exact_dedup(ds, id_col: str, text_col: str = "text",
     ds = add_text_hash(ds, text_col)
 
     def add_shard(batch: pa.Table) -> pa.Table:
+        # batch-local pre-collapse (hot-duplicate valve): only the local
+        # min-id copy of a text repeated WITHIN this batch can be the global
+        # keeper, so drop the others before the shuffle — a text duplicated
+        # across the whole corpus ships once per batch instead of once per
+        # row, and its content-hash shard stays per-batch bounded. Bit-exact:
+        # global min-id = min over batch min-ids.
+        n = batch.num_rows
+        if n:
+            hashes = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            # cheap probe first: any repeated hash in this batch at all?
+            if n - pd.unique(hashes).size > 0:
+                sub = pd.DataFrame({
+                    "h": hashes,
+                    # dedup on the TEXT itself (hash only pre-screens) so a
+                    # hash collision can never drop a distinct text
+                    "t": np.asarray(
+                        batch.column(text_col).to_pylist(), dtype=object),
+                    "pos": np.arange(n),
+                    "i": batch.column(id_col).to_numpy(zero_copy_only=False),
+                }).sort_values(["i"], kind="mergesort")
+                keep = np.ones(n, dtype=bool)
+                keep[sub.loc[sub.duplicated(subset=["h", "t"]),
+                             "pos"].to_numpy()] = False
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
         # shards must be a power of two: shard = hash & (shards-1)
         shard = pc.bit_wise_and(batch.column("text_hash"), shards - 1)
         return batch.append_column("shard", pc.cast(shard, pa.int32()))
