@@ -653,3 +653,28 @@ def test_paragraph_dedup_batch_local_precollapse(ray_session):
                                   "\nshared footer")
     assert (out.loc[1:, "text"] == [f"unique body {i}"
                                     for i in range(1, n)]).all()
+
+
+def test_paragraph_dedup_nulls_large_string_idempotent(ray_session):
+    """Null texts are treated as empty, large_string columns cast cleanly,
+    and the operator is idempotent (a deduped corpus passes through
+    unchanged)."""
+    import pyarrow as pa
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["shared\nalpha", None, "shared\nbeta", ""],
+                         pa.large_string()),
+    })
+    once = (paragraph_dedup(ray.data.from_arrow(t), id_col="doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc1 (null -> "") and doc3 ("") both reduce to one empty paragraph,
+    # which min_len=1 always keeps — both survive as empty docs
+    assert dict(zip(once.doc_id, once.text)) == {
+        0: "shared\nalpha", 1: "", 2: "beta", 3: ""}
+    twice = (paragraph_dedup(ray.data.from_pandas(once), id_col="doc_id")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert twice.equals(once)
