@@ -684,6 +684,36 @@ def _q_knn_ivf_kmeans(sf_dir: str):
     return df[["query_id", "vec_id"]].astype("int64")
 
 
+def _q_transcripts_turn_dedup(sf_dir: str):
+    """Within-conversation turn dedup (agent-loop filter). The derived
+    transcripts have no repeated turns, so the query injects deterministic
+    loop repeats on BOTH sides: every doc with doc_id % 13 == 5 re-emits
+    its turn at turn_idx + 1000 (an agent repeating itself later in the
+    same conversation); the operator must drop exactly those echoes."""
+    import pyarrow as pa
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        dedup_conversation_turns,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def echoes(batch: pa.Table) -> pa.Table:
+        mask = pa.array([(d % 13) == 5 for d in batch.column("doc_id").to_pylist()])
+        rep = batch.filter(mask)
+        rep = rep.set_column(
+            rep.schema.get_field_index("turn_idx"), "turn_idx",
+            pa.compute.add(rep.column("turn_idx"), 1000))
+        return pa.concat_tables([batch, rep])
+
+    out = dedup_conversation_turns(ds.map_batches(echoes, batch_format="pyarrow"))
+    return (
+        out.select_columns(["conv_id", "turn_idx", "doc_id"])
+        .to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -1203,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conversation_stats": _q_conversation_stats,
         "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
+        "transcripts_turn_dedup": _q_transcripts_turn_dedup,
         "transcripts_conv_keep": _q_transcripts_conv_keep,
         "transcripts_conv_keep_full": _q_transcripts_conv_keep_full,
         "transcripts_langid": _q_transcripts_langid,
@@ -1548,6 +1579,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dups)
             ORDER BY doc_id
+        """,
+        # within-conversation turn dedup over echo-injected transcripts:
+        # keep iff row_number over (conv_id, text) by turn_idx = 1 — mirrors
+        # pipelines/conversations.py:dedup_conversation_turns
+        "transcripts_turn_dedup": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, text, doc_id FROM t
+                       UNION ALL
+                       SELECT conv_id, turn_idx + 1000, text, doc_id
+                       FROM t WHERE doc_id % 13 = 5),
+                 r AS (SELECT conv_id, turn_idx, doc_id,
+                              row_number() OVER (PARTITION BY conv_id, text
+                                                 ORDER BY turn_idx) AS rn
+                       FROM e)
+            SELECT conv_id, turn_idx, doc_id FROM r WHERE rn = 1
+            ORDER BY conv_id, turn_idx
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}

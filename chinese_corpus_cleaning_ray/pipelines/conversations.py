@@ -246,3 +246,40 @@ def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
         .groupby("shard")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def dedup_conversation_turns(ds, text_col: str = "text", shards: int = 256):
+    """Within-conversation turn dedup (agent-loop degeneration filter):
+    drop every turn whose ``text_col`` exactly equals an EARLIER turn's text
+    in the SAME conversation, keeping the min-turn_idx occurrence. Agent
+    transcripts degenerate into loops — identical tool calls, identical
+    retries, identical apologies — and this removes the repeats while
+    leaving cross-conversation duplicates alone (that is corpus-level
+    dedup's job).
+
+    Exact semantics (bit-restatable in SQL): keep a turn iff
+    row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1.
+
+    Plan: one shuffle on a COARSE hash shard of conv_id (a conversation
+    never splits across shards — the same partitioning key the flagship
+    writer and sessionize use), then one vectorized sort +
+    drop_duplicates per shard. Per-batch pre-collapse is implicit: the
+    per-shard kernel is already vectorized, and a conversation's turns are
+    bounded, so no hot-key valve is needed."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = g.drop_duplicates(subset=["conv_id", text_col], keep="first")
+        return g.drop(columns=["__shard"])
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(keep_first, batch_format="pandas")
+    )

@@ -678,3 +678,28 @@ def test_paragraph_dedup_nulls_large_string_idempotent(ray_session):
     twice = (paragraph_dedup(ray.data.from_pandas(once), id_col="doc_id")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert twice.equals(once)
+
+
+def test_dedup_conversation_turns_planted(ray_session):
+    """Agent-loop filter: repeated turn texts within a conversation drop
+    (keep min turn_idx); identical texts in DIFFERENT conversations all
+    survive."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        dedup_conversation_turns,
+    )
+
+    docs = pd.DataFrame({
+        "conv_id": ["c1"] * 5 + ["c2"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 0, 1],
+        "text": ["hi", "run tool", "run tool", "hi", "done",
+                 "run tool", "hi"],
+    })
+    out = (dedup_conversation_turns(ray.data.from_pandas(docs), shards=16)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    got = list(zip(out.conv_id, out.turn_idx))
+    # c1 keeps turns 0 (hi), 1 (run tool), 4 (done); c2 keeps both
+    assert got == [("c1", 0), ("c1", 1), ("c1", 4), ("c2", 0), ("c2", 1)]
