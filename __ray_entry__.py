@@ -714,6 +714,40 @@ def _q_transcripts_turn_dedup(sf_dir: str):
     )
 
 
+def _q_transcripts_role_check(sf_dir: str):
+    """Conversation-structure validation (n_turns / role_repeats /
+    starts_with_user). The derived transcripts never repeat a role on
+    adjacent turns (the %97/%3 arithmetic guarantees it), so the query
+    injects two CONSECUTIVE echo turns per doc_id % 13 == 5 doc at unique
+    even/odd turn offsets — a guaranteed same-role adjacency in those
+    conversations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_role_check,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def echoes(batch: pa.Table) -> pa.Table:
+        mask = pa.array([(d % 13) == 5 for d in batch.column("doc_id").to_pylist()])
+        rep = batch.filter(mask)
+        tix2 = pc.multiply(rep.column("turn_idx"), 2)
+        out = [batch]
+        for off in (2000, 2001):
+            out.append(rep.set_column(
+                rep.schema.get_field_index("turn_idx"), "turn_idx",
+                pc.add(tix2, off)))
+        return pa.concat_tables(out)
+
+    out = conversation_role_check(ds.map_batches(echoes, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    df["n_turns"] = df["n_turns"].astype("int64")
+    df["role_repeats"] = df["role_repeats"].astype("int64")
+    return df
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -1234,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_turn_dedup": _q_transcripts_turn_dedup,
+        "transcripts_role_check": _q_transcripts_role_check,
         "transcripts_conv_keep": _q_transcripts_conv_keep,
         "transcripts_conv_keep_full": _q_transcripts_conv_keep_full,
         "transcripts_langid": _q_transcripts_langid,
@@ -1579,6 +1614,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dups)
             ORDER BY doc_id
+        """,
+        # conversation-structure validation over double-echo-injected
+        # transcripts — mirrors pipelines/conversations.py:
+        # conversation_role_check (lag-window repeat count, arg_min start role)
+        "transcripts_role_check": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role FROM t
+                       UNION ALL
+                       SELECT conv_id, turn_idx * 2 + 2000, role
+                       FROM t WHERE doc_id % 13 = 5
+                       UNION ALL
+                       SELECT conv_id, turn_idx * 2 + 2001, role
+                       FROM t WHERE doc_id % 13 = 5),
+                 w AS (SELECT conv_id, turn_idx, role,
+                              lag(role) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS prev
+                       FROM e)
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COALESCE(SUM(CASE WHEN role = prev THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS role_repeats,
+                   (arg_min(role, turn_idx) = 'user') AS starts_with_user
+            FROM w GROUP BY conv_id ORDER BY conv_id
         """,
         # within-conversation turn dedup over echo-injected transcripts:
         # keep iff row_number over (conv_id, text) by turn_idx = 1 — mirrors

@@ -283,3 +283,56 @@ def dedup_conversation_turns(ds, text_col: str = "text", shards: int = 256):
         .groupby("__shard")
         .map_groups(keep_first, batch_format="pandas")
     )
+
+
+def conversation_role_check(ds, shards: int = 256):
+    """Conversation-structure validation: one row per conv_id with
+    ``n_turns``, ``starts_with_user`` (is the min-turn_idx role 'user'),
+    and ``role_repeats`` (count of turns whose role equals the PREVIOUS
+    turn's role in turn_idx order — consecutive same-speaker turns, the
+    transcript-shape analogue of a malformed document). Downstream filters
+    drop or re-segment conversations that fail the shape check.
+
+    Exact semantics (bit-restatable in SQL): role_repeats =
+    COUNT(*) FILTER (role = lag(role) OVER (PARTITION BY conv_id
+    ORDER BY turn_idx)).
+
+    Plan: conv-sharded shuffle + one vectorized pass per shard (sort by
+    (conv_id, turn_idx), compare each role to its predecessor with a
+    same-conv mask, per-conv sums via groupby aggregation)."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "role_repeats": pd.Series([], dtype=np.int64),
+                                 "starts_with_user": pd.Series([], dtype=bool)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        same_conv = np.empty(len(g), dtype=bool)
+        same_conv[0] = False
+        same_conv[1:] = conv[1:] == conv[:-1]
+        rep = np.zeros(len(g), dtype=np.int64)
+        rep[1:] = (role[1:] == role[:-1]) & same_conv[1:]
+        out = pd.DataFrame({"conv_id": conv, "rep": rep,
+                            "is_first": ~same_conv,
+                            "first_user": ~same_conv & (role == "user")})
+        agg = out.groupby("conv_id", sort=False).agg(
+            n_turns=("rep", "size"),
+            role_repeats=("rep", "sum"),
+            starts_with_user=("first_user", "any"),
+        )
+        return agg.reset_index()
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(check, batch_format="pandas")
+    )

@@ -703,3 +703,29 @@ def test_dedup_conversation_turns_planted(ray_session):
     got = list(zip(out.conv_id, out.turn_idx))
     # c1 keeps turns 0 (hi), 1 (run tool), 4 (done); c2 keeps both
     assert got == [("c1", 0), ("c1", 1), ("c1", 4), ("c2", 0), ("c2", 1)]
+
+
+def test_conversation_role_check_planted(ray_session):
+    """Structure validator: repeat counting is lag-adjacent within a conv
+    only, and starts_with_user keys on the min-turn_idx role."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_role_check,
+    )
+
+    docs = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 3,
+        # c1 arrives out of order: turn 0 is 'user' even though the first
+        # ROW is the turn_idx=2 assistant row
+        "turn_idx": [2, 0, 1, 3, 0, 1, 2],
+        "role": ["assistant", "user", "assistant", "assistant",
+                 "tool", "tool", "tool"],
+    })
+    out = (conversation_role_check(ray.data.from_pandas(docs), shards=16)
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    rows = {r.conv_id: (r.n_turns, r.role_repeats, r.starts_with_user)
+            for r in out.itertuples()}
+    # c1 ordered roles: user, assistant, assistant, assistant -> 2 repeats
+    assert rows == {"c1": (4, 2, True), "c2": (3, 2, False)}
