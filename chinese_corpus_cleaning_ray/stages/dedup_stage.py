@@ -961,3 +961,174 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("shard")
         .map_groups(rejoin, batch_format="pandas")
     )
+
+
+def paragraph_dedup_keeper(ds, id_col: str = "doc_id", text_col: str = "text",
+                           sep: str = "\n", min_len: int = 1,
+                           shards: int = 256,
+                           keeper_limit: int = 2_000_000):
+    """Zero-text-shuffle variant of ``paragraph_dedup`` for the common case
+    where duplicated paragraphs are BOILERPLATE (few distinct strings, many
+    occurrences). Semantics are identical to ``paragraph_dedup`` except the
+    paragraph identity is a 128-bit content hash instead of the string
+    itself (two independently-keyed fixed-key siphashes — a collision needs
+    ~2^64 distinct paragraphs; content-addressable-dedup standard).
+
+    Plan (two passes over ``ds``; pass the raw read twice or materialize a
+    derived input, same contract as the mark+filter dedups):
+
+    - Pass A (statistics, batch-pre-collapsed): per batch, per distinct
+      dedupable paragraph, emit ONE row (h1, h2, min_id, min_idx, count) —
+      a corpus-wide boilerplate line contributes one row per batch, never
+      one per occurrence. A coarse hash-shard groupby reduces to the
+      KEEPER TABLE: (h1, h2, keeper id, keeper idx) for paragraphs with
+      total count > 1 only. Its size is the number of DISTINCT duplicated
+      paragraph strings — for boilerplate removal that is tiny regardless
+      of corpus size.
+    - Pass B (rewrite, fully local): broadcast the keeper table via
+      ``ray.put``; each batch splits its docs, drops a paragraph iff it is
+      in the table and this instance is not the keeper occurrence, rejoins,
+      and emits (id, text) — documents never leave their batch, so the
+      text payload crosses the cluster ZERO times. An ``np.isin`` h1
+      pre-filter keeps the per-instance dict lookups to table-member
+      paragraphs only.
+
+    Raises ``ValueError`` if the keeper table exceeds ``keeper_limit`` —
+    at that point the duplicate population is not boilerplate-shaped and
+    the shuffle-based ``paragraph_dedup`` (whose anti-skew valves bound
+    that regime) is the right tool. The keeper occurrence is the
+    lexicographically-min ``(id, para_idx)`` — the same notion as
+    ``paragraph_dedup`` and its SQL restatement.
+    """
+    import ray
+
+    _K1 = b"ccc-para-hash-01"
+    _K2 = b"ccc-para-hash-02"
+
+    def _explode_np(batch: pa.Table):
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        parts = pc.split_pattern(txt, sep)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        para_idx = (np.arange(len(flat), dtype=np.int64) - starts)
+        ids = batch.column(id_col).take(pa.array(parent))
+        paras = np.asarray(flat.to_pylist(), dtype=object)
+        return ids, para_idx, paras, lengths
+
+    def _hash128(paras: np.ndarray):
+        h1 = pd.util.hash_array(paras, hash_key=_K1.decode()).astype(np.int64)
+        h2 = pd.util.hash_array(paras, hash_key=_K2.decode()).astype(np.int64)
+        return h1, h2
+
+    def _ded_mask(paras: np.ndarray) -> np.ndarray:
+        return np.fromiter((len(p) >= min_len for p in paras),
+                           dtype=bool, count=len(paras))
+
+    def _empty_stats(id_type: pa.DataType) -> pa.Table:
+        # id column type must track the corpus (int64 vs string) or an
+        # all-short batch's empty block would conflict with the others
+        return pa.table({"h1": pa.array([], pa.int64()),
+                         "h2": pa.array([], pa.int64()),
+                         "i": pa.array([], id_type),
+                         "x": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64()),
+                         "shard": pa.array([], pa.int32())})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, para_idx, paras, _ = _explode_np(batch)
+        ded = _ded_mask(paras)
+        if not ded.any():
+            return _empty_stats(batch.schema.field(id_col).type)
+        h1, h2 = _hash128(paras[ded])
+        df = pd.DataFrame({"h1": h1, "h2": h2,
+                           "i": ids.to_numpy(zero_copy_only=False)[ded],
+                           "x": para_idx[ded]})
+        df = df.sort_values(["i", "x"], kind="mergesort")
+        agg = (df.groupby(["h1", "h2"], sort=False)
+               .agg(i=("i", "first"), x=("x", "first"), cnt=("x", "size"))
+               .reset_index())
+        agg["shard"] = (agg["h1"].to_numpy().astype(np.int64)
+                        & (shards - 1)).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def reduce_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["h1", "h2"], sort=False)["cnt"].transform("sum")
+        g = g[tot > 1]
+        if not len(g):
+            return pd.DataFrame({"h1": pd.Series([], dtype=np.int64),
+                                 "h2": pd.Series([], dtype=np.int64),
+                                 "i": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype=np.int64)})
+        g = (g.sort_values(["i", "x"], kind="mergesort")
+             .drop_duplicates(["h1", "h2"], keep="first"))
+        return g[["h1", "h2", "i", "x"]]
+
+    keepers = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(reduce_keepers, batch_format="pandas")
+        .materialize()
+    )
+    n_keepers = keepers.count()
+    if n_keepers > keeper_limit:
+        raise ValueError(
+            f"keeper table has {n_keepers} distinct duplicated paragraphs "
+            f"(> {keeper_limit}); this corpus is not boilerplate-shaped — "
+            "use paragraph_dedup (shuffle strategy) instead")
+    kmap: dict = {}
+    for b in keepers.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "h1" not in b.column_names:
+            continue
+        for a, c, ki, kx in zip(b.column("h1").to_pylist(),
+                                b.column("h2").to_pylist(),
+                                b.column("i").to_pylist(),
+                                b.column("x").to_pylist()):
+            kmap[(a, c)] = (ki, kx)
+    keeper_h1 = np.unique(np.fromiter((k[0] for k in kmap), dtype=np.int64,
+                                      count=len(kmap))) if kmap else None
+    kref = ray.put((kmap, keeper_h1))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        payload = kref
+        if isinstance(payload, _ray.ObjectRef):
+            payload = _ray.get(payload)
+        km, kh1 = payload
+        ids, para_idx, paras, lengths = _explode_np(batch)
+        keep = np.ones(len(paras), dtype=bool)
+        if km:
+            ded = _ded_mask(paras)
+            if ded.any():
+                dpos = np.flatnonzero(ded)
+                h1, h2 = _hash128(paras[dpos])
+                cand = np.isin(h1, kh1)
+                if cand.any():
+                    id_np = ids.to_numpy(zero_copy_only=False)
+                    for j in np.flatnonzero(cand):
+                        k = km.get((h1[j], h2[j]))
+                        if k is not None:
+                            p = dpos[j]
+                            if (id_np[p], para_idx[p]) != k:
+                                keep[p] = False
+        out_ids, out_texts = [], []
+        pos = 0
+        orig_ids = batch.column(id_col).to_pylist()
+        for row, ln in enumerate(lengths):
+            sl = keep[pos:pos + ln]
+            if sl.any():
+                out_ids.append(orig_ids[row])
+                out_texts.append(sep.join(
+                    p for p, k in zip(paras[pos:pos + ln], sl) if k))
+            pos += ln
+        return pa.table({
+            id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+            text_col: pa.array(out_texts, pa.string()),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -729,3 +729,49 @@ def test_conversation_role_check_planted(ray_session):
             for r in out.itertuples()}
     # c1 ordered roles: user, assistant, assistant, assistant -> 2 repeats
     assert rows == {"c1": (4, 2, True), "c2": (3, 2, False)}
+
+
+def test_paragraph_dedup_keeper_equivalence(ray_session):
+    """The zero-text-shuffle keeper-table variant produces exactly the
+    shuffle variant's output (string AND int ids), and refuses corpora
+    whose duplicate population exceeds keeper_limit."""
+    import random
+
+    import pandas as pd
+    import pytest
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        paragraph_dedup,
+        paragraph_dedup_keeper,
+    )
+
+    rng = random.Random(99)
+    pool = [f"para {i}" for i in range(25)] + ["", "x"]
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(200)],
+        "text": ["\n".join(rng.choice(pool) for _ in range(rng.randint(0, 7)))
+                 for _ in range(200)],
+    })
+    for min_len in (1, 2):
+        a = (paragraph_dedup(ray.data.from_pandas(docs), id_col="doc_id",
+                             min_len=min_len, shards=64)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (paragraph_dedup_keeper(ray.data.from_pandas(docs),
+                                    id_col="doc_id", min_len=min_len)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b), min_len
+
+    int_docs = pd.DataFrame({
+        "doc_id": pd.array([30, 4, 100], dtype="int64"),
+        "text": ["b\nshared", "b\nshared", "b"],
+    })
+    out = (paragraph_dedup_keeper(ray.data.from_pandas(int_docs),
+                                  id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # numeric keeper order: doc 4 wins both paragraphs, 30 and 100 vanish
+    assert dict(zip(out.doc_id, out.text)) == {4: "b\nshared"}
+
+    with pytest.raises(ValueError, match="keeper table"):
+        paragraph_dedup_keeper(ray.data.from_pandas(docs), id_col="doc_id",
+                               keeper_limit=1)
