@@ -1128,6 +1128,31 @@ def _q_doc_paragraph_dedup(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_paragraph_dedup_keeper(sf_dir: str):
+    """Same semantics as ``doc_paragraph_dedup`` via the zero-text-shuffle
+    keeper-table strategy (``paragraph_dedup_keeper``): pass A reduces
+    batch-pre-collapsed paragraph-hash stats to a broadcastable keeper
+    table; pass B rewrites every document locally, so document text never
+    crosses the cluster. Shares the shuffle variant's DuckDB oracle —
+    both must be bit-exact against the same SQL restatement."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup_keeper
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_boiler(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), batch.column("text"),
+            pa.scalar(_BOILER_FOOTER), pa.scalar("\n"))
+        return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
+
+    out = paragraph_dedup_keeper(ds.map_batches(add_boiler, batch_format="pyarrow"),
+                                 id_col="doc_id")
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _paragraph_dedup_sql(source: str = "documents") -> str:
     """Self-contained SELECT (nested WITH) producing the paragraph-deduped
     (doc_id, text) corpus with the shared boilerplate derivation — the SQL
@@ -1259,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget": _q_doc_token_budget,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
@@ -1519,6 +1545,9 @@ def oracle_sql() -> dict[str, str]:
         # paragraphs always survive; docs reassemble from survivors and drop
         # when nothing survives — mirrors stages/dedup_stage.py:paragraph_dedup
         "doc_paragraph_dedup": f"{_paragraph_dedup_sql()} ORDER BY doc_id",
+        # the zero-text-shuffle keeper-table variant must match the SAME
+        # restatement bit-for-bit (equivalence is also pytest-pinned)
+        "doc_paragraph_dedup_keeper": f"{_paragraph_dedup_sql()} ORDER BY doc_id",
         # the composed recipe: paragraph dedup → exact dedup → quality keep →
         # scrub, each stage the SAME restatement as its standalone oracle,
         # chained (nested WITH as the _keep_label_sql derive + a join back to
