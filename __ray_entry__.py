@@ -874,6 +874,44 @@ def _q_doc_jaccard_dedup(sf_dir: str):
     )
 
 
+def _q_doc_duplicate_components(sf_dir: str):
+    """Duplicate-CLUSTER mapping: exact-Jaccard qualifying pairs (same
+    k=5 / 0.35 / max_df=128 notion as doc_jaccard_dedup) → distributed
+    large-star/small-star connected components → every doc labeled with
+    its component's minimum doc_id (itself when unclustered). The SQL
+    oracle restates the closure with a recursive CTE."""
+    from chinese_corpus_cleaning_ray.stages.components import (
+        attach_components,
+        connected_components,
+    )
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_edges
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_edges(ds, id_col="doc_id", k=5, threshold=0.35)
+    comp = connected_components(edges, a_col="ia", b_col="ib")
+    out = attach_components(_read(sf_dir, "documents", columns=["doc_id"]),
+                            comp, "doc_id")
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _q_doc_cluster_dedup(sf_dir: str):
+    """One-keeper-per-duplicate-cluster dedup (transitive-closure
+    semantics): keep a doc iff it is the MINIMUM id of its connected
+    component in the exact-Jaccard duplicate graph. Strictly stronger than
+    doc_jaccard_dedup's pairwise drop, which can keep several members of
+    one cluster (see stages/components.py module docstring)."""
+    from chinese_corpus_cleaning_ray.stages.components import (
+        jaccard_component_dedup,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept, _ = jaccard_component_dedup(ds, id_col="doc_id", k=5, threshold=0.35)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_quality_clustered(sf_dir: str):
     from dataclasses import replace
 
@@ -1085,6 +1123,33 @@ def _q_doc_winnow_fingerprints(sf_dir: str):
     )
 
 
+# shingle → df-capped pair → threshold CTEs of the exact-Jaccard duplicate
+# GRAPH (k=5, Jaccard ≥ 0.35, max_df 128) — textually the same notion as the
+# doc_jaccard_dedup oracle, ending in an ``edges`` relation consumed by the
+# recursive-closure oracles (doc_duplicate_components / doc_cluster_dedup)
+_JACCARD_EDGE_CTES = """sh AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 128),
+            pair AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE a.g IN (SELECT g FROM rare)
+                GROUP BY ia, ib
+            ),
+            edges AS (
+                SELECT ia, ib
+                FROM pair
+                JOIN cnt ca ON ca.doc_id = pair.ia
+                JOIN cnt cb ON cb.doc_id = pair.ib
+                WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.35
+            )"""
+
 _BOILER_HEADER = "cookie notice accept all cookies to continue"
 _BOILER_FOOTER = "subscribe to our newsletter for daily updates"
 
@@ -1270,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": _q_doc_scrub,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
+        "doc_duplicate_components": _q_doc_duplicate_components,
+        "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_quality_clustered": _q_doc_quality_clustered,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_cosine_dedup": _q_emb_cosine_dedup,
@@ -1616,6 +1683,42 @@ def oracle_sql() -> dict[str, str]:
                                for i in range(1, length(text) - 62, 32)] END) AS w
                 FROM documents)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # duplicate-cluster closure: the SAME shingle/pair/threshold CTEs as
+        # doc_jaccard_dedup, then a recursive CTE computes reachability over
+        # the undirected qualifying-pair graph and labels every node with
+        # its component minimum — the SQL restatement of
+        # stages/components.py:connected_components (large-star/small-star)
+        "doc_duplicate_components": f"""
+            WITH RECURSIVE {_JACCARD_EDGE_CTES},
+            und AS (SELECT ia AS u, ib AS v FROM edges
+                    UNION SELECT ib, ia FROM edges),
+            reach(n, m) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT r.n, e.v FROM reach r JOIN und e ON e.u = r.m
+            ),
+            comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # keep a doc iff it is its component's minimum (transitive-closure
+        # dedup) — mirrors stages/components.py:jaccard_component_dedup
+        "doc_cluster_dedup": f"""
+            WITH RECURSIVE {_JACCARD_EDGE_CTES},
+            und AS (SELECT ia AS u, ib AS v FROM edges
+                    UNION SELECT ib, ia FROM edges),
+            reach(n, m) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT r.n, e.v FROM reach r JOIN und e ON e.u = r.m
+            ),
+            comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+            WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+            ORDER BY d.doc_id
         """,
         "doc_jaccard_dedup": """
             WITH sh AS (

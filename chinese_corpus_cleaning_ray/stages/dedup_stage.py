@@ -613,41 +613,13 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], k: int = 5) -> l
     return [jaccard(char_shingles(a, k), char_shingles(b, k)) for a, b in zip(texts_a, texts_b)]
 
 
-def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.8, shards: int | None = None,
-                        max_df: int | None = 128, strategy: str = "auto",
-                        broadcast_limit: int = 2_000_000,
-                        target_docs_per_shard: int = 4096):
-    """EXACT n-gram Jaccard dedup: a row is a duplicate iff ANY smaller-id row
-    shares Jaccard ≥ threshold over distinct character k-grams. Unlike
-    MinHash/SimHash this is oracle-checkable (the same semantics are plain
-    SQL: shingle table → self-join → inter/union ratio).
-
-    ``max_df`` (document-frequency cap) drops shingles shared by more than
-    that many documents from the INTERSECTION (denominator counts stay full):
-    ubiquitous shingles generate O(df²) candidate pairs — template-heavy
-    corpora go quadratic without the cap — while true near-dup pairs share
-    plenty of rare shingles, so the score only shrinks, never inflates
-    (conservative). The cap is mirrored verbatim in the SQL oracle, so
-    parity is by construction, not luck. ``max_df=None`` disables it.
-
-    Plan (no O(n²) anywhere):
-    1. map_batches: one row per DISTINCT (shingle, doc) with the doc's
-       shingle count attached (so pair rows are self-contained — no
-       corpus-wide doc→count broadcast at scale).
-    2. groupby coarse shard of the shingle string; a shingle's full posting
-       list lives in ONE shard, so the df cap is an exact local filter;
-       a vectorized pandas self-merge emits partial pair-intersections.
-    3. groupby coarse shard of the (ia, ib) pair; sum partial intersections,
-       keep pairs with inter/(na+nb-inter) ≥ threshold, anti-filter the
-       distinct larger ids via the shared ``anti_filter`` ending (auto
-       broadcast-vs-join, so the driver never holds an unbounded dup set).
-
-    ``shards=None`` (default) sizes the power-of-two shard count from the
-    input row count (~``target_docs_per_shard`` docs per shard), so per-shard
-    memory stays flat as the corpus grows."""
-    if shards is None:
-        shards = _pow2_shards(ds.count(), target_docs_per_shard)
+def _jaccard_pair_partials(ds, id_col: str, text_col: str, k: int,
+                           shards: int, max_df: int | None):
+    """Shared pair-candidate plan for the exact-Jaccard family: shingle
+    posting rows → shingle-shard self-merge → per-pair partial
+    intersections, sharded by the (ia, ib) pair. Consumers finish with one
+    ``groupby("pshard")`` reduce (dup ids for ``ngram_jaccard_dedup``,
+    qualifying edges for ``ngram_jaccard_edges``)."""
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -699,25 +671,89 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
                 * np.uint64(31)))
         return df.assign(pshard=(h & np.uint64(shards - 1)).astype(np.int32))
 
+    return (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .map_batches(add_g_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pair_partials, batch_format="pandas")
+        .map_batches(add_pair_shard, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8, shards: int | None = None,
+                        max_df: int | None = 128, strategy: str = "auto",
+                        broadcast_limit: int = 2_000_000,
+                        target_docs_per_shard: int = 4096):
+    """EXACT n-gram Jaccard dedup: a row is a duplicate iff ANY smaller-id row
+    shares Jaccard ≥ threshold over distinct character k-grams. Unlike
+    MinHash/SimHash this is oracle-checkable (the same semantics are plain
+    SQL: shingle table → self-join → inter/union ratio).
+
+    ``max_df`` (document-frequency cap) drops shingles shared by more than
+    that many documents from the INTERSECTION (denominator counts stay full):
+    ubiquitous shingles generate O(df²) candidate pairs — template-heavy
+    corpora go quadratic without the cap — while true near-dup pairs share
+    plenty of rare shingles, so the score only shrinks, never inflates
+    (conservative). The cap is mirrored verbatim in the SQL oracle, so
+    parity is by construction, not luck. ``max_df=None`` disables it.
+
+    Plan (no O(n²) anywhere):
+    1. map_batches: one row per DISTINCT (shingle, doc) with the doc's
+       shingle count attached (so pair rows are self-contained — no
+       corpus-wide doc→count broadcast at scale).
+    2. groupby coarse shard of the shingle string; a shingle's full posting
+       list lives in ONE shard, so the df cap is an exact local filter;
+       a vectorized pandas self-merge emits partial pair-intersections.
+    3. groupby coarse shard of the (ia, ib) pair; sum partial intersections,
+       keep pairs with inter/(na+nb-inter) ≥ threshold, anti-filter the
+       distinct larger ids via the shared ``anti_filter`` ending (auto
+       broadcast-vs-join, so the driver never holds an unbounded dup set).
+
+    ``shards=None`` (default) sizes the power-of-two shard count from the
+    input row count (~``target_docs_per_shard`` docs per shard), so per-shard
+    memory stays flat as the corpus grows."""
+    if shards is None:
+        shards = _pow2_shards(ds.count(), target_docs_per_shard)
+
     def dup_ids_of(group: pd.DataFrame) -> pd.DataFrame:
         agg = group.groupby(["ia", "ib", "na", "nb"], sort=False)["inter"].sum().reset_index()
         jac = agg["inter"] / (agg["na"] + agg["nb"] - agg["inter"])
         hits = agg.loc[jac >= threshold, "ib"]
         return pd.DataFrame({id_col: pd.unique(hits.to_numpy())})
 
-    pair_rows = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .map_batches(add_g_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(pair_partials, batch_format="pandas")
-    )
     dup_ids_ds = (
-        pair_rows.map_batches(add_pair_shard, batch_format="pandas")
+        _jaccard_pair_partials(ds, id_col, text_col, k, shards, max_df)
         .groupby("pshard")
         .map_groups(dup_ids_of, batch_format="pandas")
     )
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
+
+
+def ngram_jaccard_edges(ds, id_col: str, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8, shards: int | None = None,
+                        max_df: int | None = 128,
+                        target_docs_per_shard: int = 4096):
+    """The qualifying NEAR-DUPLICATE PAIR LIST of the exact-Jaccard notion:
+    one row (ia, ib) with ia < ib per unordered pair whose shingle-Jaccard
+    (under the same ``max_df`` intersection cap as ``ngram_jaccard_dedup``)
+    is ≥ ``threshold``. This is the edge list of the duplicate graph — feed
+    it to ``stages.components.connected_components`` for one-keeper-per-
+    cluster dedup, or inspect it directly for dup-pair audits."""
+    if shards is None:
+        shards = _pow2_shards(ds.count(), target_docs_per_shard)
+
+    def edges_of(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["ia", "ib", "na", "nb"], sort=False)["inter"].sum().reset_index()
+        jac = agg["inter"] / (agg["na"] + agg["nb"] - agg["inter"])
+        return agg.loc[jac >= threshold, ["ia", "ib"]].reset_index(drop=True)
+
+    return (
+        _jaccard_pair_partials(ds, id_col, text_col, k, shards, max_df)
+        .groupby("pshard")
+        .map_groups(edges_of, batch_format="pandas")
+    )
 
 
 def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,

@@ -1,0 +1,196 @@
+"""Distributed connected components (large-star/small-star) and the
+cluster-correct dedup built on it: planted transitivity cases, randomized
+union-find equivalence (int and string ids), worst-case path convergence,
+both attach strategies, and the jaccard-edge composition vs brute force."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pandas as pd
+import pytest
+
+
+def _union_find(n_nodes, edges):
+    par = list(range(n_nodes))
+
+    def find(x):
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in range(n_nodes)}
+
+
+def test_components_transitive_closure_beats_pairwise(ray_session):
+    """Edge set {(1,3),(3,4),(2,4)} is ONE component. Pairwise min-drop
+    (what every per-pair dedup does) would drop only {3,4} and keep both 1
+    and 2; connected components must map 2, 3 and 4 all to 1."""
+    import ray
+
+    e = ray.data.from_pandas(pd.DataFrame({"a": [1, 3, 2], "b": [3, 4, 4]}))
+    from chinese_corpus_cleaning_ray.stages.components import (
+        connected_components,
+    )
+
+    m = connected_components(e).to_pandas()
+    assert dict(zip(m.node, m.component)) == {2: 1, 3: 1, 4: 1}
+    # pairwise contrast, computed explicitly: drop larger of each pair
+    pairwise_dropped = {3, 4}
+    pairwise_kept = {1, 2, 3, 4} - pairwise_dropped
+    assert pairwise_kept == {1, 2}  # two survivors in one dup cluster
+
+
+def test_components_random_graph_matches_union_find(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    truth = _union_find(n, edges)
+    e = ray.data.from_pandas(pd.DataFrame(
+        {"a": [a for a, _ in edges], "b": [b for _, b in edges]}))
+    m = connected_components(e).to_pandas()
+    got = {int(r.node): int(r.component) for r in m.itertuples()}
+    assert {x: got.get(x, x) for x in range(n)} == truth
+    # mapping rows are exactly the non-center nodes
+    assert all(r.node > r.component for r in m.itertuples())
+
+
+def test_components_string_ids_and_degenerate_edges(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        connected_components,
+    )
+
+    e = ray.data.from_pandas(pd.DataFrame(
+        {"a": ["x", "y", "x", "z", "q"], "b": ["y", "x", "x", "y", "q"]}))
+    m = connected_components(e).to_pandas()
+    # self-loops (x-x, q-q) ignored; reversed duplicate (y,x) collapses
+    assert dict(zip(m.node, m.component)) == {"y": "x", "z": "x"}
+
+    only_loops = ray.data.from_pandas(pd.DataFrame({"a": [5], "b": [5]}))
+    assert connected_components(only_loops).count() == 0
+
+
+def test_components_long_path_converges(ray_session):
+    """A 300-node path is the worst case for naive min-label propagation
+    (O(diameter) rounds); large-star/small-star must finish within the
+    default O(log² n) round budget."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        connected_components,
+    )
+
+    p = 300
+    e = ray.data.from_pandas(pd.DataFrame(
+        {"a": list(range(p - 1)), "b": list(range(1, p))}))
+    m = connected_components(e).to_pandas()
+    assert set(m.component) == {0}
+    assert set(m.node) == set(range(1, p))
+
+
+def test_attach_components_both_strategies(ray_session):
+    """Broadcast and distributed-join attachment agree, give every row a
+    total assignment (absent nodes map to themselves), and preserve the id
+    dtype."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        attach_components,
+        connected_components,
+    )
+
+    e = ray.data.from_pandas(pd.DataFrame({"a": [1, 3, 2], "b": [3, 4, 4]}))
+    comp = connected_components(e).materialize()
+    corpus = pd.DataFrame({"doc_id": [1, 2, 3, 4, 9], "text": list("abcde")})
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+    for strategy in ("broadcast", "join"):
+        out = attach_components(ray.data.from_pandas(corpus), comp, "doc_id",
+                                strategy=strategy).to_pandas()
+        assert dict(zip(out.doc_id, out.component)) == want, strategy
+        assert out.component.dtype == out.doc_id.dtype, strategy
+
+
+def test_component_dedup_keeps_cluster_minimum(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import component_dedup
+
+    corpus = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 9], "text": list("abcde")}))
+    edges = ray.data.from_pandas(pd.DataFrame({"a": [1, 3, 2], "b": [3, 4, 4]}))
+    kept, _ = component_dedup(corpus, edges, "doc_id")
+    assert sorted(kept.to_pandas().doc_id) == [1, 9]
+
+
+def test_jaccard_edges_and_cluster_dedup_vs_bruteforce(ray_session):
+    """ngram_jaccard_edges reproduces the brute-force qualifying pair list
+    exactly, and jaccard_component_dedup keeps exactly the union-find
+    cluster minima — including a similarity CHAIN 1~2~6 where doc 6 is NOT
+    within threshold of doc 1 directly (the transitive case pairwise
+    dedup already happens to handle, plus the branching case it does not)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        jaccard_component_dedup,
+    )
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        char_shingles,
+        jaccard,
+        ngram_jaccard_edges,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "the quick brown fox leaps over the lazy cat",
+            "completely different content about ray data",
+            "completely different content about ray rata",
+            "unrelated fifth document with its own words",
+            "the quick brown fox leaps over the lazy rat",
+            "short",
+        ]})
+    k, thr = 5, 0.55
+    sh = {i: char_shingles(t, k) for i, t in zip(docs.doc_id, docs.text)}
+    edges_true = sorted(
+        (a, b) for a, b in itertools.combinations(range(8), 2)
+        if jaccard(sh[a], sh[b]) >= thr)
+    assert (1, 2) in edges_true and (2, 6) in edges_true  # the chain exists
+
+    got = ngram_jaccard_edges(ray.data.from_pandas(docs), "doc_id", k=k,
+                              threshold=thr, max_df=None).to_pandas()
+    assert sorted(map(tuple, got[["ia", "ib"]].to_numpy())) == edges_true
+
+    truth = _union_find(8, edges_true)
+    keep_true = sorted(x for x in range(8) if truth[x] == x)
+    kept, _ = jaccard_component_dedup(ray.data.from_pandas(docs), "doc_id",
+                                      k=k, threshold=thr, max_df=None)
+    assert sorted(kept.to_pandas().doc_id) == keep_true
+
+
+def test_components_nonconvergence_guard(ray_session):
+    """max_rounds=0 must raise rather than return a half-contracted graph."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        connected_components,
+    )
+
+    e = ray.data.from_pandas(pd.DataFrame({"a": [0, 1], "b": [1, 2]}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_rounds=0)
