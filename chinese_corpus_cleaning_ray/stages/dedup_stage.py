@@ -1053,17 +1053,17 @@ def paragraph_dedup_keeper(ds, id_col: str = "doc_id", text_col: str = "text",
         starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
         para_idx = (np.arange(len(flat), dtype=np.int64) - starts)
         ids = batch.column(id_col).take(pa.array(parent))
-        paras = np.asarray(flat.to_pylist(), dtype=object)
-        return ids, para_idx, paras, lengths
+        # zero-copy-adjacent object view of the utf8 values — measurably
+        # faster than to_pylist on wide batches
+        paras = flat.to_numpy(zero_copy_only=False)
+        ded = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(
+            zero_copy_only=False)
+        return ids, para_idx, paras, lengths, ded, txt
 
     def _hash128(paras: np.ndarray):
         h1 = pd.util.hash_array(paras, hash_key=_K1.decode()).astype(np.int64)
         h2 = pd.util.hash_array(paras, hash_key=_K2.decode()).astype(np.int64)
         return h1, h2
-
-    def _ded_mask(paras: np.ndarray) -> np.ndarray:
-        return np.fromiter((len(p) >= min_len for p in paras),
-                           dtype=bool, count=len(paras))
 
     def _empty_stats(id_type: pa.DataType) -> pa.Table:
         # id column type must track the corpus (int64 vs string) or an
@@ -1076,8 +1076,7 @@ def paragraph_dedup_keeper(ds, id_col: str = "doc_id", text_col: str = "text",
                          "shard": pa.array([], pa.int32())})
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids, para_idx, paras, _ = _explode_np(batch)
-        ded = _ded_mask(paras)
+        ids, para_idx, paras, _, ded, _txt = _explode_np(batch)
         if not ded.any():
             return _empty_stats(batch.schema.field(id_col).type)
         h1, h2 = _hash128(paras[ded])
@@ -1136,32 +1135,42 @@ def paragraph_dedup_keeper(ds, id_col: str = "doc_id", text_col: str = "text",
         if isinstance(payload, _ray.ObjectRef):
             payload = _ray.get(payload)
         km, kh1 = payload
-        ids, para_idx, paras, lengths = _explode_np(batch)
+        ids, para_idx, paras, lengths, ded, txt = _explode_np(batch)
         keep = np.ones(len(paras), dtype=bool)
-        if km:
-            ded = _ded_mask(paras)
-            if ded.any():
-                dpos = np.flatnonzero(ded)
-                h1, h2 = _hash128(paras[dpos])
-                cand = np.isin(h1, kh1)
-                if cand.any():
-                    id_np = ids.to_numpy(zero_copy_only=False)
-                    for j in np.flatnonzero(cand):
-                        k = km.get((h1[j], h2[j]))
-                        if k is not None:
-                            p = dpos[j]
-                            if (id_np[p], para_idx[p]) != k:
-                                keep[p] = False
+        if km and ded.any():
+            dpos = np.flatnonzero(ded)
+            h1, h2 = _hash128(paras[dpos])
+            cand = np.isin(h1, kh1)
+            if cand.any():
+                id_np = ids.to_numpy(zero_copy_only=False)
+                for j in np.flatnonzero(cand):
+                    k = km.get((h1[j], h2[j]))
+                    if k is not None:
+                        p = dpos[j]
+                        if (id_np[p], para_idx[p]) != k:
+                            keep[p] = False
+        if keep.all():  # batch holds no dropped instance — pass through
+            return pa.table({id_col: batch.column(id_col), text_col: txt})
+        # per-row drop/keep counts, vectorized; rows with zero drops reuse
+        # their (normalized) original text string — no re-join cost
+        starts = np.cumsum(lengths) - lengths
+        nz = lengths > 0
+        kept_cnt = np.zeros(len(lengths), dtype=np.int64)
+        drop_cnt = np.zeros(len(lengths), dtype=np.int64)
+        kept_cnt[nz] = np.add.reduceat(keep.astype(np.int64), starts[nz])
+        drop_cnt[nz] = lengths[nz] - kept_cnt[nz]
+        orig_texts = txt.to_numpy(zero_copy_only=False)
+        orig_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out_ids, out_texts = [], []
-        pos = 0
-        orig_ids = batch.column(id_col).to_pylist()
-        for row, ln in enumerate(lengths):
-            sl = keep[pos:pos + ln]
-            if sl.any():
-                out_ids.append(orig_ids[row])
+        for row in np.flatnonzero(kept_cnt > 0):
+            out_ids.append(orig_ids[row])
+            if drop_cnt[row] == 0:
+                out_texts.append(orig_texts[row])
+            else:
+                pos, ln = starts[row], lengths[row]
+                sl = keep[pos:pos + ln]
                 out_texts.append(sep.join(
-                    p for p, k in zip(paras[pos:pos + ln], sl) if k))
-            pos += ln
+                    p for p, kk in zip(paras[pos:pos + ln], sl) if kk))
         return pa.table({
             id_col: pa.array(out_ids, batch.schema.field(id_col).type),
             text_col: pa.array(out_texts, pa.string()),
