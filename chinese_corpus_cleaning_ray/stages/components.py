@@ -291,6 +291,32 @@ def component_dedup(ds, edges, id_col: str, a_col: str = "a",
                        broadcast_limit=broadcast_limit)
 
 
+def minhash_component_dedup(ds, id_col: str, text_col: str = "text",
+                            num_perm: int = 64, num_bands: int = 16,
+                            shingle_k: int = 5, seed: int = 42,
+                            verify_threshold: float = 0.5,
+                            verify_k: int | None = None,
+                            strategy: str = "auto",
+                            broadcast_limit: int = 2_000_000):
+    """The SCALE-PATH cluster-correct dedup: MinHash-LSH band candidates →
+    exact-Jaccard verified pairs (``minhash_edges``) → connected components
+    → keep each component's minimum id. Candidate generation stays
+    O(num_bands · n); the component loop touches verified pairs only. The
+    exhaustive-pair twin is ``jaccard_component_dedup`` (oracle-checkable);
+    at matched thresholds the two agree wherever the band recall catches
+    the pair (see BENCH precision table for the band recall itself)."""
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import minhash_edges
+
+    edges = minhash_edges(ds, id_col=id_col, text_col=text_col,
+                          num_perm=num_perm, num_bands=num_bands,
+                          shingle_k=shingle_k, seed=seed,
+                          verify_threshold=verify_threshold,
+                          verify_k=verify_k)
+    return component_dedup(ds, edges, id_col, a_col="ia", b_col="ib",
+                           strategy=strategy,
+                           broadcast_limit=broadcast_limit)
+
+
 def jaccard_component_dedup(ds, id_col: str, text_col: str = "text",
                             k: int = 5, threshold: float = 0.8,
                             shards: int | None = None,

@@ -418,22 +418,68 @@ def minhash_dedup(
         return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                            broadcast_limit=broadcast_limit)
 
-    dup_ids_ds = _verified_minhash_dup_ids(
+    pairs_ds = _verified_minhash_pairs(
         ds, sharded, id_col=id_col, text_col=text_col,
         k=(verify_k if verify_k is not None else shingle_k),
         threshold=verify_threshold, broadcast_limit=broadcast_limit,
         verify_broadcast_limit=verify_broadcast_limit,
     )
+
+    def ib_only(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
+        return pa.table({id_col: batch.column("ib")})
+
+    dup_ids_ds = pairs_ds.map_batches(ib_only, batch_format="pyarrow")
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
 
 
-def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
-                              k: int, threshold: float,
-                              broadcast_limit: int = 2_000_000,
-                              verify_broadcast_limit: int = 100_000):
-    """Candidate pairs from band buckets → exact-Jaccard verification → dup
-    ids (the ``ib`` of every verified pair). Two execution shapes:
+def minhash_edges(ds, id_col: str, text_col: str = "text",
+                  num_perm: int = 64, num_bands: int = 16,
+                  shingle_k: int = 5, seed: int = 42,
+                  verify_threshold: float = 0.5, verify_k: int | None = None,
+                  verify_broadcast_limit: int = 100_000):
+    """VERIFIED near-duplicate pair list of the MinHash-LSH notion: band
+    collisions nominate (bucket-min, member) candidate pairs, exact
+    ``verify_k``-gram Jaccard confirms each, and one row (ia, ib) per
+    confirmed pair comes back. This is the scale-path edge list for
+    ``stages.components.connected_components`` (``minhash_component_dedup``
+    composes them) — the jaccard twin (``ngram_jaccard_edges``) is the
+    oracle-able variant.
+
+    Candidate generation is the star of each band bucket (member ↔ bucket
+    minimum), which preserves bucket CONNECTIVITY; two non-min members of a
+    bucket are never tested directly, so an edge between them exists only
+    through their shared verified minimum — the same recall contract as the
+    verified ``minhash_dedup``."""
+    bands = ds.map_batches(
+        make_minhash_bands_fn(id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, num_bands=num_bands,
+                              shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow",
+    )
+    shards = 256
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.bit_wise_and(batch.column("band_hash"), shards - 1)
+        return batch.append_column("shard", pc.cast(shard, pa.int32()))
+
+    return _verified_minhash_pairs(
+        ds, bands.map_batches(add_shard, batch_format="pyarrow"),
+        id_col=id_col, text_col=text_col,
+        k=(verify_k if verify_k is not None else shingle_k),
+        threshold=verify_threshold,
+        verify_broadcast_limit=verify_broadcast_limit,
+    )
+
+
+def _verified_minhash_pairs(ds, sharded_bands, id_col: str, text_col: str,
+                            k: int, threshold: float,
+                            broadcast_limit: int = 2_000_000,
+                            verify_broadcast_limit: int = 100_000):
+    """Candidate pairs from band buckets → exact-Jaccard verification →
+    VERIFIED PAIR Dataset (ia, ib). Two execution shapes:
 
     - candidate set ≤ ``verify_broadcast_limit``: broadcast-filter the corpus
       to candidate (id, text) rows, pull THOSE to the driver and verify in
@@ -444,7 +490,9 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
       and a stateless map filters on exact Jaccard — the 100-TB path: the
       driver never holds texts, candidate payload moves ≤ twice.
 
-    Returns a one-column Dataset of dup ids."""
+    Returns a two-column (ia, ib) Dataset of verified pairs; consumers
+    take ``ib`` for pairwise dropping or feed the whole edge list to
+    ``connected_components`` for cluster-correct dedup."""
     from chinese_corpus_cleaning_ray.stages.joins import hash_join
 
     def mark_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -463,12 +511,13 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
     n_raw = pairs_raw.count()
     docs = ds.select_columns([id_col, text_col])
     if n_raw == 0:
-        # no candidates → empty dup-id set with the right schema (a literal
+        # no candidates → empty pair set with the right schema (a literal
         # empty block, NOT a corpus scan)
         import ray.data as rd
 
         id_type = ds.schema().base_schema.field(id_col).type
-        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+        return rd.from_arrow(pa.table({"ia": pa.array([], id_type),
+                                       "ib": pa.array([], id_type)}))
 
     def _broadcast(val):
         try:
@@ -508,11 +557,14 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
         empty = np.empty(0, dtype=np.uint64)
         scores = [jaccard(shingles_of.get(a, empty), shingles_of.get(b, empty))
                   for a, b in zip(pdf["ia"], pdf["ib"])]
-        dup_ids = pd.unique(pdf["ib"].to_numpy()[
-            np.asarray(scores) >= threshold])
-        id_type = texts_pdf[id_col].dtype
-        return rd.from_arrow(pa.table({id_col: pa.Array.from_pandas(
-            pd.Series(dup_ids, dtype=id_type))}))
+        ok = pdf[np.asarray(scores) >= threshold]
+        # infer the arrow id type from the (non-empty here) candidate text
+        # pull — ds.schema().base_schema is a PandasBlockSchema for
+        # from_pandas inputs and has no .field()
+        id_type = pa.Array.from_pandas(texts_pdf[id_col]).type
+        return rd.from_arrow(pa.table({
+            "ia": pa.Array.from_pandas(ok["ia"], type=id_type),
+            "ib": pa.Array.from_pandas(ok["ib"], type=id_type)}))
 
     def add_pair_shard(df: pd.DataFrame) -> pd.DataFrame:
         h = (pd.util.hash_pandas_object(df["ia"], index=False).to_numpy()
@@ -560,8 +612,7 @@ def _verified_minhash_dup_ids(ds, sharded_bands, id_col: str, text_col: str,
         scores = ngram_jaccard_pairs(batch.column("_t_ia").to_pylist(),
                                      batch.column("_t_ib").to_pylist(), k=k)
         mask = pa.array([s >= threshold for s in scores])
-        out = batch.filter(mask).select(["ib"])
-        return out.rename_columns([id_col])
+        return batch.filter(mask).select(["ia", "ib"])
 
     return with_b.map_batches(verify, batch_format="pyarrow")
 

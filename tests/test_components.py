@@ -183,6 +183,55 @@ def test_jaccard_edges_and_cluster_dedup_vs_bruteforce(ray_session):
     assert sorted(kept.to_pandas().doc_id) == keep_true
 
 
+def test_minhash_edges_verified_and_cluster_dedup_agree(ray_session):
+    """minhash_edges returns only pairs whose EXACT Jaccard clears the
+    verify threshold (no band-collision false positives), and
+    minhash_component_dedup agrees with the exhaustive
+    jaccard_component_dedup on a near-dup corpus whose true pairs the
+    bands catch (identical docs collide in every band)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.components import (
+        jaccard_component_dedup,
+        minhash_component_dedup,
+    )
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        char_shingles,
+        jaccard,
+        minhash_edges,
+    )
+
+    fams = [
+        "streaming execution pipelines schedule blocks with backpressure",
+        "sensitive word tries scrub documents in one deterministic pass",
+        "minhash signatures bucket near duplicates into banded groups",
+        "parquet readers prune columns before rows leave object storage",
+        "actor pools hold compiled models across repeated batch calls",
+    ]
+    texts, rng = [], random.Random(11)
+    for i in range(30):
+        t = fams[i % 5]
+        if i >= 5 and rng.random() < 0.5:  # light perturbation, still dup
+            t = t + " tail"
+        texts.append(t)
+    docs = pd.DataFrame({"doc_id": list(range(30)), "text": texts})
+
+    thr = 0.5
+    edges = minhash_edges(ray.data.from_pandas(docs), "doc_id",
+                          verify_threshold=thr).to_pandas()
+    sh = {i: char_shingles(t, 5) for i, t in zip(docs.doc_id, docs.text)}
+    for a, b in edges[["ia", "ib"]].itertuples(index=False):
+        assert jaccard(sh[a], sh[b]) >= thr, (a, b)
+
+    kept_mh, _ = minhash_component_dedup(ray.data.from_pandas(docs),
+                                         "doc_id", verify_threshold=thr)
+    kept_jc, _ = jaccard_component_dedup(ray.data.from_pandas(docs),
+                                         "doc_id", threshold=thr,
+                                         max_df=None)
+    assert (sorted(kept_mh.to_pandas().doc_id)
+            == sorted(kept_jc.to_pandas().doc_id) == [0, 1, 2, 3, 4])
+
+
 def test_components_nonconvergence_guard(ray_session):
     """max_rounds=0 must raise rather than return a half-contracted graph."""
     import ray
