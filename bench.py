@@ -89,7 +89,8 @@ def run_bench() -> dict:
                      "doc_quality", "doc_minhash_dedup", "doc_jaccard_dedup",
                      "events_topk_per_type", "knn_brute", "transcripts_quality",
                      "doc_top_ngrams", "doc_contamination",
-                     "doc_paragraph_dedup"):
+                     "doc_paragraph_dedup", "doc_paragraph_dedup_keeper",
+                     "doc_duplicate_components"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):
