@@ -1218,6 +1218,38 @@ def _q_doc_paragraph_dedup_keeper(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_transcripts_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup over the TRANSCRIPT corpus: the row key
+    is the composite string ``conv_id#turn_idx(zero-padded)`` so the
+    keep-first ordering is lexicographic over conversations and turns —
+    exercising paragraph_dedup's string-id path at driver level. Every
+    turn gets the shared boilerplate header/footer derivation; the
+    dedup then keeps each distinct paragraph only at its first (conv,
+    turn) occurrence across ALL conversations. The oracle reuses the
+    SAME _paragraph_dedup_sql restatement over the derived relation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    ds = _transcripts_ds(sf_dir)
+
+    def rk_and_boiler(batch: pa.Table) -> pa.Table:
+        rk = pc.binary_join_element_wise(
+            batch.column("conv_id"),
+            pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()),
+                         6, "0"),
+            pa.scalar("#"))
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), batch.column("text"),
+            pa.scalar(_BOILER_FOOTER), pa.scalar("\n"))
+        return pa.table({"doc_id": rk, "text": txt})
+
+    out = paragraph_dedup(ds.map_batches(rk_and_boiler, batch_format="pyarrow"),
+                          id_col="doc_id")
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _paragraph_dedup_sql(source: str = "documents") -> str:
     """Self-contained SELECT (nested WITH) producing the paragraph-deduped
     (doc_id, text) corpus with the shared boilerplate derivation — the SQL
@@ -1352,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
+        "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
@@ -1615,6 +1648,15 @@ def oracle_sql() -> dict[str, str]:
         # the zero-text-shuffle keeper-table variant must match the SAME
         # restatement bit-for-bit (equivalence is also pytest-pinned)
         "doc_paragraph_dedup_keeper": f"{_paragraph_dedup_sql()} ORDER BY doc_id",
+        # paragraph dedup over the derived TRANSCRIPT corpus, keyed by the
+        # composite string conv_id#turn_idx — same restatement, derived
+        # source relation
+        "transcripts_paragraph_dedup": (
+            _paragraph_dedup_sql(
+                f"""(SELECT conv_id || '#' ||
+                            lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS doc_id,
+                            text
+                     FROM ({_DERIVE_SQL}) t)""") + " ORDER BY doc_id"),
         # the composed recipe: paragraph dedup → exact dedup → quality keep →
         # scrub, each stage the SAME restatement as its standalone oracle,
         # chained (nested WITH as the _keep_label_sql derive + a join back to
