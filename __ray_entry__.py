@@ -1218,6 +1218,19 @@ def _q_doc_paragraph_dedup_keeper(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+_QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact order statistics of documents.n_chars (column-pruned read; the
+    shuffle and the driver pull move one row per DISTINCT length, never per
+    document) — matches DuckDB quantile_disc bit-exactly."""
+    from chinese_corpus_cleaning_ray.stages.analysis import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
+
+
 def _q_transcripts_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph dedup over the TRANSCRIPT corpus: the row key
     is the composite string ``conv_id#turn_idx(zero-padded)`` so the
@@ -1385,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
@@ -1648,6 +1662,13 @@ def oracle_sql() -> dict[str, str]:
         # the zero-text-shuffle keeper-table variant must match the SAME
         # restatement bit-for-bit (equivalence is also pytest-pinned)
         "doc_paragraph_dedup_keeper": f"{_paragraph_dedup_sql()} ORDER BY doc_id",
+        # exact order statistics — quantile_disc per requested q (the Ray
+        # side's cumulative value-count walk is pinned to the same
+        # value-at-rank-max(1, ceil(q·n)) definition)
+        "doc_length_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(n_chars, {q}) AS value FROM documents"
+            for q in _QUANTILE_QS) + " ORDER BY q",
         # paragraph dedup over the derived TRANSCRIPT corpus, keyed by the
         # composite string conv_id#turn_idx — same restatement, derived
         # source relation

@@ -340,6 +340,66 @@ def length_histogram(ds, text_col: str = "text", bucket: int = 100):
     )
 
 
+def exact_quantiles(ds, col: str, quantiles: list[float],
+                    max_distinct: int = 5_000_000):
+    """EXACT order statistics of an integer-valued column via value-count
+    compaction: per-batch ``value_counts`` partials → one groupby over the
+    DISTINCT values → driver-side cumulative walk. Returns a pandas
+    DataFrame (q, value) matching DuckDB's ``quantile_disc`` definition
+    (empirically pinned: value at 1-based rank ``max(1, ceil(q·n))`` of the
+    sorted multiset).
+
+    Scale shape: the shuffle and the driver pull both carry one row per
+    DISTINCT value, never per input row — exact quantiles of a length,
+    count or score-bucket column over 10^12 rows move a few thousand
+    (value, count) pairs. Raises ``ValueError`` above ``max_distinct``
+    (a near-continuous column is not this operator's shape; bucket it
+    first, or accept approximation elsewhere)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column(col))
+        return pa.table({
+            "v": pc.cast(vc.field("values"), pa.int64()),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def total(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": [int(group["v"].iloc[0])],
+                             "c": [int(group["c"].sum())]})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .map_groups(total, batch_format="pandas")
+        .materialize()
+    )
+    n_distinct = counts.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"column {col!r} has {n_distinct} distinct values "
+            f"(> {max_distinct}); exact_quantiles is for low-cardinality "
+            "columns — bucket the column first")
+    pdf = counts.to_pandas().sort_values("v").reset_index(drop=True)
+    if not len(pdf):
+        return pd.DataFrame({"q": pd.Series(quantiles, dtype=np.float64),
+                             "value": pd.Series([np.nan] * len(quantiles))})
+    cum = pdf["c"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = pdf["v"].to_numpy()
+    out = []
+    for q in quantiles:
+        k = max(1, math.ceil(q * n))
+        out.append(int(vals[int(np.searchsorted(cum, k))]))
+    return pd.DataFrame({"q": pd.Series(quantiles, dtype=np.float64),
+                         "value": pd.Series(out, dtype=np.int64)})
+
+
 def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
                         window: int = 64, stride: int = 32):
     """Winnowing-style document fingerprint: the MIN of MD5 over sliding

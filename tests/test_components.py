@@ -243,3 +243,38 @@ def test_components_nonconvergence_guard(ray_session):
     e = ray.data.from_pandas(pd.DataFrame({"a": [0, 1], "b": [1, 2]}))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_rounds=0)
+
+
+def test_exact_quantiles_matches_quantile_disc(ray_session):
+    """Randomized: the value-count cumulative walk equals DuckDB's
+    quantile_disc on every q, including duplicates-heavy and single-value
+    corpora; the distinct-cardinality guard raises."""
+    import duckdb
+    import numpy as np
+    import pytest
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    for vals in (
+        rng.integers(0, 50, 997),          # heavy duplication
+        rng.integers(-1000, 1000, 256),    # negatives
+        np.array([7]),                     # single row
+        np.full(100, 3),                   # single distinct value
+    ):
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+        got = exact_quantiles(ds, "x", qs)
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT unnest(?) AS x",
+                    [vals.tolist()])
+        for q, v in zip(got.q, got.value):
+            exp = con.execute("SELECT quantile_disc(x, ?) FROM t",
+                              [float(q)]).fetchone()[0]
+            assert v == exp, (q, v, exp, len(vals))
+
+    with pytest.raises(ValueError, match="distinct"):
+        exact_quantiles(
+            ray.data.from_pandas(pd.DataFrame({"x": np.arange(100)})),
+            "x", [0.5], max_distinct=10)
