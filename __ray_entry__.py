@@ -1221,6 +1221,35 @@ def _q_doc_paragraph_dedup_keeper(sf_dir: str):
 _QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
+def _q_doc_repetition_signals(sf_dir: str):
+    """Gopher-style intra-doc repetition signals. The synthetic docs are
+    single-line, so BOTH sides derive the same multi-line structure:
+    header\\n<text>[\\n<text> again when doc_id%3=0]\\nfooter — docs with
+    the doubled body line get nonzero duplicate-line fractions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.analysis import repetition_signals
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = batch.column("text")
+        doubled = pc.binary_join_element_wise(text, text, pa.scalar("\n"))
+        ids = batch.column("doc_id").to_numpy()
+        mid = pc.if_else(pa.array(ids % 3 == 0), doubled, text)
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), mid, pa.scalar(_BOILER_FOOTER),
+            pa.scalar("\n"))
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", txt)
+
+    out = repetition_signals(ds.map_batches(inject, batch_format="pyarrow"))
+    return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact order statistics of documents.n_chars (column-pruned read; the
     shuffle and the driver pull move one row per DISTINCT length, never per
@@ -1399,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_repetition_signals": _q_doc_repetition_signals,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
@@ -1669,6 +1699,41 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {q}) AS value FROM documents"
             for q in _QUANTILE_QS) + " ORDER BY q",
+        # Gopher-style duplicate-line repetition signals over the injected
+        # multi-line derivation (header\n<text>[\n<text>]\nfooter) —
+        # mirrors stages/analysis.py:repetition_signals; both fractions are
+        # BIGINT ratios cast to double, so equality is bit-exact
+        "doc_repetition_signals": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       '{_BOILER_HEADER}' || chr(10) || text ||
+                       CASE WHEN doc_id % 3 = 0 THEN chr(10) || text
+                            ELSE '' END ||
+                       chr(10) || '{_BOILER_FOOTER}' AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM inj
+            ), per_line AS (
+                SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+                FROM l GROUP BY doc_id, line
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(SUM(c * ln) AS BIGINT) AS total_chars,
+                       CAST(SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END)
+                            AS BIGINT) AS dup_chars
+                FROM per_line GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines,
+                   CAST(n_lines - n_distinct AS DOUBLE) / n_lines
+                       AS dup_line_frac,
+                   CASE WHEN total_chars = 0 THEN 0.0
+                        ELSE CAST(dup_chars AS DOUBLE) / total_chars
+                   END AS dup_line_char_frac
+            FROM agg ORDER BY doc_id
+        """,
         # paragraph dedup over the derived TRANSCRIPT corpus, keyed by the
         # composite string conv_id#turn_idx — same restatement, derived
         # source relation

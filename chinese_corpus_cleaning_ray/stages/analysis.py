@@ -340,6 +340,61 @@ def length_histogram(ds, text_col: str = "text", bucket: int = 100):
     )
 
 
+def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/MassiveText-style intra-document repetition quality signals
+    (Rae et al. 2021, §A1.1 repetition filters — public paper): per doc,
+    over its newline-split lines (empties included),
+
+    - ``n_lines``: line count;
+    - ``dup_line_frac``: (n_lines − n_distinct_lines) / n_lines;
+    - ``dup_line_char_frac``: characters in lines whose value occurs ≥ 2
+      times in the doc / total line characters (0.0 for all-empty docs).
+
+    Purely row-local (a doc's lines never leave its batch — no shuffle);
+    the kernel is one pandas groupby over (row, line) per batch. Both
+    fractions are BIGINT ratios cast to double, so the SQL restatement is
+    bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        parts = pc.split_pattern(txt, "\n")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": parent,
+                           "line": flat.to_numpy(zero_copy_only=False),
+                           "ln": lens.astype(np.int64)})
+        per = (df.groupby(["p", "line"], sort=False)
+               .agg(c=("ln", "size"), ln=("ln", "first")).reset_index())
+        per["chars"] = per["c"] * per["ln"]
+        per["dup_chars"] = np.where(per["c"] > 1, per["chars"], 0)
+        agg = per.groupby("p", sort=False).agg(
+            n_lines=("c", "sum"), n_distinct=("c", "size"),
+            total_chars=("chars", "sum"), dup_chars=("dup_chars", "sum"))
+        agg = agg.reindex(range(batch.num_rows))  # docs are never empty-line-less, but be total
+        n_lines = agg["n_lines"].to_numpy(dtype=np.float64)
+        dup_line_frac = (n_lines - agg["n_distinct"].to_numpy(dtype=np.float64)) / n_lines
+        total = agg["total_chars"].to_numpy(dtype=np.float64)
+        dup = agg["dup_chars"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_char_frac = np.where(total == 0, 0.0, dup / np.where(total == 0, 1, total))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(agg["n_lines"].to_numpy(dtype=np.int64)),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_char_frac, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def exact_quantiles(ds, col: str, quantiles: list[float],
                     max_distinct: int = 5_000_000):
     """EXACT order statistics of an integer-valued column via value-count

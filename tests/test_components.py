@@ -278,3 +278,28 @@ def test_exact_quantiles_matches_quantile_disc(ray_session):
         exact_quantiles(
             ray.data.from_pandas(pd.DataFrame({"x": np.arange(100)})),
             "x", [0.5], max_distinct=10)
+
+
+def test_repetition_signals_planted_and_edge_cases(ray_session):
+    """Hand-computed duplicate-line fractions, including null text, empty
+    text, and empty-line duplication (zero chars contribute nothing to the
+    char fraction but do count as duplicate lines)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import repetition_signals
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": pd.array(["a\na\nb", "", None, "x\n\n\nx"], dtype=object),
+    })
+    out = (repetition_signals(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    rows = {r.doc_id: (r.n_lines, round(r.dup_line_frac, 6),
+                       round(r.dup_line_char_frac, 6))
+            for r in out.itertuples()}
+    assert rows == {
+        0: (3, round(1 / 3, 6), round(2 / 3, 6)),  # 'a' twice of 3 lines
+        1: (1, 0.0, 0.0),                          # one empty line
+        2: (1, 0.0, 0.0),                          # null -> ""
+        3: (4, 0.5, 1.0),  # 'x'×2 + ''×2 dup lines; all chars in dup 'x'
+    }
