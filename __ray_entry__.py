@@ -1260,6 +1260,40 @@ def _q_doc_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
 
 
+def _q_doc_length_quantiles_by_source(sf_dir: str):
+    """Per-source exact order statistics — the fully distributed grouped
+    variant (nothing reaches the driver; a key's distribution meets in one
+    hash shard as distinct (value, count) pairs)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import exact_quantiles_by_key
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    out = exact_quantiles_by_key(ds, "source", "n_chars", _QUANTILE_QS)
+    return (out.to_pandas().sort_values(["source", "q"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _q_doc_boilerplate_report(sf_dir: str):
+    """Top-20 most-repeated paragraphs over the boilerplate-derived corpus
+    (header\\n<text>\\nfooter) — the audit a user runs BEFORE committing to
+    paragraph dedup. Count-descending, paragraph-ascending (deterministic
+    total order on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.analysis import boilerplate_report
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_boiler(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), batch.column("text"),
+            pa.scalar(_BOILER_FOOTER), pa.scalar("\n"))
+        return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
+
+    return boilerplate_report(
+        ds.map_batches(add_boiler, batch_format="pyarrow"), top_n=20)
+
+
 def _q_transcripts_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph dedup over the TRANSCRIPT corpus: the row key
     is the composite string ``conv_id#turn_idx(zero-padded)`` so the
@@ -1428,7 +1462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_length_quantiles_by_source": _q_doc_length_quantiles_by_source,
         "doc_repetition_signals": _q_doc_repetition_signals,
+        "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
@@ -1699,6 +1735,30 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {q}) AS value FROM documents"
             for q in _QUANTILE_QS) + " ORDER BY q",
+        # grouped exact order statistics — quantile_disc per source per q
+        "doc_length_quantiles_by_source": " UNION ALL ".join(
+            f"SELECT source, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(n_chars, {q}) AS value "
+            "FROM documents GROUP BY source"
+            for q in _QUANTILE_QS) + " ORDER BY source, q",
+        # top-20 repeated paragraphs over the boilerplate derivation —
+        # mirrors stages/analysis.py:boilerplate_report (count ≥ 2,
+        # n DESC, para ASC deterministic tiebreak)
+        "doc_boilerplate_report": f"""
+            WITH boiler AS (
+                SELECT '{_BOILER_HEADER}' || chr(10) || text || chr(10)
+                       || '{_BOILER_FOOTER}' AS text
+                FROM documents
+            ), p AS (
+                SELECT unnest(string_split(text, chr(10))) AS para
+                FROM boiler
+            ), c AS (
+                SELECT para, CAST(COUNT(*) AS BIGINT) AS n
+                FROM p WHERE length(para) >= 1
+                GROUP BY para HAVING COUNT(*) >= 2
+            )
+            SELECT para, n FROM c ORDER BY n DESC, para LIMIT 20
+        """,
         # Gopher-style duplicate-line repetition signals over the injected
         # multi-line derivation (header\n<text>[\n<text>]\nfooter) —
         # mirrors stages/analysis.py:repetition_signals; both fractions are

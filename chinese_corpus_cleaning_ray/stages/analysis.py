@@ -455,6 +455,115 @@ def exact_quantiles(ds, col: str, quantiles: list[float],
                          "value": pd.Series(out, dtype=np.int64)})
 
 
+def exact_quantiles_by_key(ds, key_col: str, col: str,
+                           quantiles: list[float], shards: int = 64):
+    """Per-key exact order statistics, fully distributed: per-batch
+    (key, value) count partials → ONE groupby over a coarse hash shard of
+    the key (a key's whole distribution meets in one shard as distinct
+    (value, count) pairs) → vectorized per-key cumulative walk inside the
+    shard. Same ``quantile_disc`` definition as ``exact_quantiles``;
+    returns a Dataset (key, q, value) with one row per key × quantile.
+
+    Unlike the global variant nothing is pulled to the driver, so
+    cardinality needs no guard: per-shard memory is (distinct (key, value)
+    pairs)/shards."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qs = list(quantiles)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_pandas(),
+            "v": batch.column(col).to_pandas().astype(np.int64),
+        })
+        agg = (df.groupby([key_col, "v"], sort=False)
+               .size().reset_index(name="c"))
+        h = pd.util.hash_pandas_object(agg[key_col], index=False).to_numpy()
+        agg["shard"] = (h % np.uint64(shards)).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def walk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (group.groupby([key_col, "v"], sort=False)["c"].sum()
+               .reset_index().sort_values([key_col, "v"], kind="mergesort"))
+        out_k, out_q, out_v = [], [], []
+        for key, g in agg.groupby(key_col, sort=False):
+            cum = g["c"].cumsum().to_numpy()
+            vals = g["v"].to_numpy()
+            n = int(cum[-1])
+            for q in qs:
+                k = max(1, math.ceil(q * n))
+                out_k.append(key)
+                out_q.append(q)
+                out_v.append(int(vals[int(np.searchsorted(cum, k))]))
+        return pd.DataFrame({key_col: pd.Series(out_k,
+                                                dtype=agg[key_col].dtype),
+                             "q": pd.Series(out_q, dtype=np.float64),
+                             "value": pd.Series(out_v, dtype=np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(walk, batch_format="pandas")
+    )
+
+
+def boilerplate_report(ds, text_col: str = "text", top_n: int = 50,
+                       min_len: int = 1, min_count: int = 2,
+                       shards: int = 256):
+    """Boilerplate AUDIT for paragraph dedup: the ``top_n`` most-repeated
+    paragraphs corpus-wide as (para, n_occurrences), ordered by count
+    descending then paragraph ascending (deterministic). The explode and
+    batch pre-collapse follow ``paragraph_dedup``; counts then compact
+    through a content-shard groupby and a per-shard top-n before the tiny
+    global cut, so the shuffle moves (paragraph, count) rows and the
+    driver sees shards × top_n rows at most."""
+    import numpy as np
+    import pandas as pd
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        flat = pc.list_flatten(pc.split_pattern(txt, "\n"))
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        vc = pc.value_counts(flat.filter(keep))
+        paras = vc.field("values")
+        h = pd.util.hash_array(paras.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "para": paras,
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+            "shard": pa.array((h % np.uint64(shards)).astype(np.int32)),
+        })
+
+    def shard_top(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("para", sort=False)["n"].sum().reset_index()
+        agg = agg[agg["n"] >= min_count]
+        agg = agg.sort_values(["n", "para"], ascending=[False, True],
+                              kind="mergesort").head(top_n)
+        return agg[["para", "n"]]
+
+    tops = (
+        ds.map_batches(explode_counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_top, batch_format="pandas")
+    )
+    pdf = tops.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"para": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    return (pdf.sort_values(["n", "para"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+            .reset_index(drop=True))
+
+
 def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
                         window: int = 64, stride: int = 32):
     """Winnowing-style document fingerprint: the MIN of MD5 over sliding

@@ -303,3 +303,61 @@ def test_repetition_signals_planted_and_edge_cases(ray_session):
         2: (1, 0.0, 0.0),                          # null -> ""
         3: (4, 0.5, 1.0),  # 'x'×2 + ''×2 dup lines; all chars in dup 'x'
     }
+
+
+def test_exact_quantiles_by_key_matches_per_key_disc(ray_session):
+    """The grouped (fully distributed) variant equals a per-key driver
+    quantile_disc computation, string and int keys."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import (
+        exact_quantiles_by_key,
+    )
+
+    rng = np.random.default_rng(9)
+    keys = rng.choice(list("abcde"), 700)
+    vals = rng.integers(0, 40, 700)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "x": vals}))
+    got = (exact_quantiles_by_key(ds, "k", "x", qs).to_pandas()
+           .sort_values(["k", "q"]).reset_index(drop=True))
+
+    def disc(sorted_vals, q):
+        n = len(sorted_vals)
+        return sorted_vals[max(1, math.ceil(q * n)) - 1]
+
+    want = []
+    for k in sorted(set(keys)):
+        s = sorted(vals[keys == k])
+        for q in qs:
+            want.append((k, q, disc(s, q)))
+    assert list(map(tuple, got[["k", "q", "value"]].to_numpy())) == want
+
+
+def test_boilerplate_report_counts_and_order(ray_session):
+    """Top-n repeated paragraphs: counts sum across batches, min_count
+    filters singletons, order is (n desc, para asc), min_len drops empties."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import boilerplate_report
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "hdr\nbody one\nftr",
+            "hdr\nbody two\nftr",
+            "hdr\nbody one\nftr",
+            "hdr\n\n\nftr",
+            "zzz\nbody two",
+            "solo paragraph",
+        ]})
+    rep = boilerplate_report(ray.data.from_pandas(docs).repartition(3),
+                             top_n=3)
+    assert list(map(tuple, rep.to_numpy())) == [
+        ("ftr", 4), ("hdr", 4), ("body one", 2)]
+    rep2 = boilerplate_report(ray.data.from_pandas(docs), top_n=10)
+    assert list(map(tuple, rep2.to_numpy())) == [
+        ("ftr", 4), ("hdr", 4), ("body one", 2), ("body two", 2)]
