@@ -863,6 +863,90 @@ def _q_events_sessionize(sf_dir: str):
     return out
 
 
+def _q_events_asof_join(sf_dir: str):
+    """AS-OF join (custom operator — Ray Data has none): each click event
+    picks up the most recent at-or-before purchase of the SAME user
+    (timestamp + value). The right side is pre-aggregated to one row per
+    (user_id, second) — the operator's documented determinism contract —
+    and the DuckDB oracle is a literal ASOF LEFT JOIN."""
+    from chinese_corpus_cleaning_ray.stages.joins import asof_join
+
+    def to_clicks(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        ts_s = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()), 1_000_000)), pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"), "ts_s": ts_s})
+
+    def to_purchases(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ts_s = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()), 1_000_000)), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "ts_s": ts_s,
+                         "purchase_value": b.column("value")})
+
+    from ray.data.aggregate import Max
+
+    ev_cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    clicks = _read(sf_dir, "events", columns=ev_cols).map_batches(
+        to_clicks, batch_format="pyarrow")
+    purchases = (
+        _read(sf_dir, "events", columns=ev_cols)
+        .map_batches(to_purchases, batch_format="pyarrow")
+        .groupby(["user_id", "ts_s"])
+        .aggregate(Max("purchase_value", alias_name="purchase_value"))
+    )
+
+    def dup_ts(batch: pa.Table) -> pa.Table:
+        # expose the matched right timestamp as a VALUE column (the join
+        # key itself is consumed by the asof match)
+        return batch.append_column("purchase_ts_s", batch.column("ts_s"))
+
+    purchases = purchases.map_batches(dup_ts, batch_format="pyarrow")
+    out = asof_join(clicks, purchases, on="ts_s", by="user_id",
+                    how="left").to_pandas()
+    for c in ("event_id", "user_id", "ts_s"):
+        out[c] = out[c].astype("int64")
+    # null-free output: no-match lookbacks become -1.0 on BOTH sides
+    # (oracle COALESCEs identically) so the value-hash can't diverge on
+    # NaN-vs-NULL representation
+    out["purchase_ts_s"] = out["purchase_ts_s"].astype("float64").fillna(-1.0)
+    out["purchase_value"] = out["purchase_value"].astype("float64").fillna(-1.0)
+    return (out[["event_id", "user_id", "ts_s", "purchase_ts_s",
+                 "purchase_value"]]
+            .sort_values("event_id", kind="mergesort").reset_index(drop=True))
+
+
+def _q_events_range_join(sf_dir: str):
+    """RANGE (interval) join (custom operator): every event is matched back
+    to the session interval that contains it — sessions from
+    ``sessionize_events`` (gap 1800 s) as the interval side, time-bucketed
+    co-partitioning with bucket_width=3600 s. Disjoint per-user sessions ⇒
+    exactly one match per event; the oracle restates the sessionize CTE and
+    an inequality join."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import sessionize_events
+    from chinese_corpus_cleaning_ray.stages.joins import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ts_s = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), 1_000_000)), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"), "ts_s": ts_s})
+
+    pts = ev.map_batches(to_points, batch_format="pyarrow")
+    sess = sessionize_events(ev, gap_seconds=1800).select_columns(
+        ["user_id", "session_idx", "start_ts", "end_ts"])
+    out = range_join(pts, sess, point_col="ts_s", start_col="start_ts",
+                     end_col="end_ts", by="user_id", bucket_width=3600,
+                     how="inner").to_pandas()
+    for c in ("event_id", "user_id", "ts_s", "session_idx"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_id", "user_id", "ts_s", "session_idx"]]
+            .sort_values("event_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_jaccard_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import ngram_jaccard_dedup
 
@@ -1472,6 +1556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "transcripts_conversation_stats": _q_conversation_stats,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_turn_dedup": _q_transcripts_turn_dedup,
         "transcripts_role_check": _q_transcripts_role_check,
@@ -1637,6 +1723,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # AS-OF join: literal DuckDB ASOF LEFT JOIN; right side is
+        # pre-aggregated to one row per (user, second) exactly like the Ray
+        # query (asof determinism contract); -1.0 sentinel = no lookback hit
+        "events_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events WHERE event_type = 'click'),
+            purchases AS (
+                SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+                       MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT))
+            SELECT c.event_id, c.user_id, c.ts_s,
+                   COALESCE(CAST(p.ts_s AS DOUBLE), -1.0) AS purchase_ts_s,
+                   COALESCE(CAST(p.purchase_value AS DOUBLE), -1.0) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+            ORDER BY c.event_id
+        """,
+        # RANGE join: sessionize CTE restated verbatim, then an inequality
+        # join point BETWEEN [start, end] on the same user — per-user
+        # sessions are disjoint so each event matches exactly once
+        "events_range_join": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events),
+            marked AS (
+                SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                               OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+            sess AS (
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+                FROM marked),
+            sessions AS (
+                SELECT user_id, session_idx,
+                       CAST(MIN(ts_s) AS BIGINT) AS start_ts,
+                       CAST(MAX(ts_s) AS BIGINT) AS end_ts
+                FROM sess GROUP BY user_id, session_idx)
+            SELECT p.event_id, p.user_id, p.ts_s, s.session_idx
+            FROM e p JOIN sessions s
+              ON p.user_id = s.user_id
+             AND p.ts_s BETWEEN s.start_ts AND s.end_ts
+            ORDER BY p.event_id
         """,
         # exact n-gram Jaccard dedup IS SQL-expressible (unlike MinHash/
         # SimHash whose permutations/fingerprints aren't): distinct 5-char

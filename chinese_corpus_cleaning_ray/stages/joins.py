@@ -134,3 +134,287 @@ def hash_join(left, right, on: str, how: str = "inner",
             return pa.Table.from_arrays(cols, schema=out_sch)
 
     return both.groupby("__shard").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, on: str, by: str, how: str = "left",
+              right_suffix: str = "_r", shards: int | None = None,
+              tolerance=None):
+    """Distributed AS-OF join: for each left row, attach the columns of the
+    single right row with the same ``by`` key and the greatest ``on`` value
+    ≤ the left row's ``on`` (backward direction — the "most recent fact at
+    or before this event" lookup SQL spells ``ASOF JOIN``).
+
+    Ray Data has no asof join; the reference has no joins at all. The plan
+    is the same one-shuffle shape as :func:`hash_join`: both sides are
+    tagged with a hash shard of the ``by`` key (every row of a key lands in
+    exactly one shard), null-padded to a shared union schema, ``union``-ed
+    (lazy block concat), and ONE ``groupby(shard).map_groups`` runs a
+    vectorized ``pandas.merge_asof`` per shard. Per-shard memory =
+    (left + right)/shards; a hot key inflates one shard, never one Python
+    group — the documented partitioning assumption.
+
+    ``how="left"`` keeps left rows with no match (right columns null);
+    ``"inner"`` drops them. ``tolerance`` (same dtype as ``on``'s diff,
+    e.g. an int for integer timestamps) bounds the lookback window.
+
+    Determinism: if the right side has several rows with the SAME
+    ``(by, on)``, which one wins is unspecified — pre-aggregate the right
+    side to one row per (key, time) first (the driver query does exactly
+    that). Output column types are cast back to the declared Arrow union
+    schema, so timestamp units and nullable ints survive the pandas
+    round-trip."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
+
+    if shards is None:
+        shards = max(8, cluster_cpus())
+
+    def _shard_of(keys: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        return (h % np.uint64(shards)).astype(np.int32)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        s = _shard_of(batch.column(by).to_pandas())
+        return batch.append_column("__shard", pa.array(s)).append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    tagged_left = left.map_batches(tag_left, batch_format="pyarrow")
+    lsch = tagged_left.schema().base_schema
+    left_cols = [f.name for f in lsch if f.name not in ("__shard", "__side")]
+
+    rs = right.schema()
+    right_in = [n for n in rs.names if n not in (on, by)]
+    rename = {n: (n + right_suffix if n in left_cols else n) for n in right_in}
+    # the right side's own on-column comes through under a reserved name so
+    # the asof key never collides with the left's
+    r_types = dict(zip(rs.names, rs.types))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    fields = list(lsch) + [pa.field(rename[n], _pa_type(r_types[n]))
+                           for n in right_in]
+    sch = pa.schema(fields)
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [batch.column(f.name) if f.name in batch.column_names
+                else pa.nulls(n, f.type) for f in sch]
+        return pa.Table.from_arrays(cols, schema=sch)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch.column(by).cast(sch.field(by).type)
+        onv = batch.column(on).cast(sch.field(on).type)
+        present = {rename[c]: batch.column(c).cast(sch.field(rename[c]).type)
+                   for c in right_in}
+        cols = []
+        for f in sch:
+            if f.name == by:
+                cols.append(key)
+            elif f.name == on:
+                cols.append(onv)
+            elif f.name == "__shard":
+                cols.append(pa.array(_shard_of(key.to_pandas())))
+            elif f.name == "__side":
+                cols.append(pa.array(np.ones(n, dtype=np.int8)))
+            elif f.name in present:
+                cols.append(present[f.name])
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=sch)
+
+    both = tagged_left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    out_right = [rename[n] for n in right_in]
+    out_sch = pa.schema([f for f in sch if f.name not in ("__shard", "__side")])
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        lf = group.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rf = group.filter(pc.equal(side, 1)).select(
+            [by, on] + out_right).to_pandas()
+        # merge_asof contract: both frames globally sorted by `on`, no nulls
+        # in `on`. Null-on left rows bypass the match (null right cols);
+        # null-on right rows can never be "most recent" — drop them.
+        rf = rf[rf[on].notna()]
+        rf = rf.assign(__rmatch=np.int8(1)).sort_values(
+            on, kind="mergesort").reset_index(drop=True)
+        l_ok = lf[lf[on].notna()].sort_values(
+            on, kind="mergesort").reset_index(drop=True)
+        merged = pd.merge_asof(l_ok, rf, on=on, by=by, suffixes=("", "__rr"),
+                               direction="backward", tolerance=tolerance)
+        if on + "__rr" in merged.columns:  # pandas keeps one `on`; guard
+            merged = merged.drop(columns=[on + "__rr"])
+        if how == "inner":
+            merged = merged[merged["__rmatch"].notna()]
+        else:
+            l_null = lf[lf[on].isna()]
+            if len(l_null):
+                merged = pd.concat([merged, l_null], ignore_index=True)
+        cols = [pa.array(
+            merged[f.name] if f.name in merged.columns
+            else pd.Series([None] * len(merged)), type=f.type,
+            from_pandas=True) for f in out_sch]
+        return pa.Table.from_arrays(cols, schema=out_sch)
+
+    return both.groupby("__shard").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(points, intervals, point_col: str, start_col: str,
+               end_col: str, by: str | None = None, *, bucket_width,
+               how: str = "inner", right_suffix: str = "_r",
+               shards: int | None = None):
+    """Distributed RANGE (interval) join: emit one row per (point, interval)
+    pair with ``start_col ≤ point_col ≤ end_col`` (and equal ``by`` keys
+    when given) — the "which session/window does this event fall in"
+    lookup SQL spells as an inequality join.
+
+    A naive inequality join is O(points × intervals). This plan
+    co-partitions both sides on a COARSE TIME BUCKET instead: each point
+    lands in bucket ``floor(point/bucket_width)``; each interval is
+    replicated to every bucket its [start, end] span overlaps. A matching
+    pair then necessarily co-locates in the point's bucket (exactly one
+    bucket per point → no duplicate output), buckets are hash-sharded, and
+    one vectorized pandas merge + mask runs per shard.
+
+    ``bucket_width`` is the replication/skew knob and must be in the same
+    units as the three range columns (numeric — epoch seconds, ints,
+    floats): an interval replicates to ``span/bucket_width + 1`` buckets,
+    while a bucket's candidate set is every interval overlapping it. Pick
+    it near the TYPICAL interval length (sessions → ~an hour) so both
+    stay O(1)-ish. ``how="left"`` keeps unmatched points with null
+    interval columns. Intervals with null bounds never match; null points
+    match nothing (and survive only under ``how="left"``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
+
+    if shards is None:
+        shards = max(8, cluster_cpus())
+
+    psch = points.schema()
+    point_cols = list(psch.names)
+    isch = intervals.schema()
+    right_in = [n for n in isch.names if n != by]
+    rename = {n: (n + right_suffix if n in point_cols else n) for n in right_in}
+    r_types = dict(zip(isch.names, isch.types))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    p_types = dict(zip(psch.names, psch.types))
+    out_sch = pa.schema(
+        [pa.field(n, _pa_type(p_types[n])) for n in point_cols]
+        + [pa.field(rename[n], _pa_type(r_types[n])) for n in right_in])
+
+    def _shard_of(bucket: np.ndarray, keys) -> np.ndarray:
+        h = bucket.astype(np.uint64)
+        if keys is not None:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_pandas_object(
+                pd.Series(keys), index=False).to_numpy()
+        return (h % np.uint64(shards)).astype(np.int32)
+
+    def bucket_points(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[point_col].to_numpy()
+        ok = pd.notna(p)
+        df = df[ok]
+        b = np.floor_divide(df[point_col].to_numpy(), bucket_width).astype(np.int64)
+        return df.assign(
+            __bucket=b,
+            __shard=_shard_of(b, df[by].to_numpy() if by else None))
+
+    def explode_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[start_col].to_numpy()
+        e = df[end_col].to_numpy()
+        ok = pd.notna(s) & pd.notna(e) & (s <= e)
+        df = df[ok]
+        if not len(df):
+            return df.assign(__bucket=pd.Series([], dtype=np.int64),
+                             __shard=pd.Series([], dtype=np.int32)
+                             ).rename(columns=rename)
+        b0 = np.floor_divide(df[start_col].to_numpy(), bucket_width).astype(np.int64)
+        b1 = np.floor_divide(df[end_col].to_numpy(), bucket_width).astype(np.int64)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].reset_index(drop=True)
+        # per-interval consecutive bucket ids, fully vectorized
+        starts = np.cumsum(reps) - reps
+        offs = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
+        b = np.repeat(b0, reps) + offs
+        out = out.assign(
+            __bucket=b,
+            __shard=_shard_of(b, out[by].to_numpy() if by else None))
+        return out.rename(columns=rename)
+
+    pts = points.map_batches(bucket_points, batch_format="pandas")
+    ivs = intervals.map_batches(explode_intervals, batch_format="pandas")
+
+    # side-tag + union + one groupby (the hash_join discipline): per-shard
+    # memory = candidates/shards, nothing driver-side
+    usch = pa.schema(
+        list(out_sch) + [pa.field("__bucket", pa.int64()),
+                         pa.field("__shard", pa.int32()),
+                         pa.field("__side", pa.int8())])
+
+    def pad(side_val: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = []
+            for fd in usch:
+                if fd.name == "__side":
+                    cols.append(pa.array(np.full(n, side_val, dtype=np.int8)))
+                elif fd.name in batch.column_names:
+                    cols.append(batch.column(fd.name).cast(fd.type))
+                else:
+                    cols.append(pa.nulls(n, fd.type))
+            return pa.Table.from_arrays(cols, schema=usch)
+
+        return f
+
+    both = pts.map_batches(pad(0), batch_format="pyarrow").union(
+        ivs.map_batches(pad(1), batch_format="pyarrow"))
+
+    start_out, end_out = rename[start_col], rename[end_col]
+    iv_cols = [rename[n] for n in right_in]
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        lf = group.filter(pc.equal(side, 0)).select(
+            point_cols + ["__bucket"]).to_pandas()
+        rf = group.filter(pc.equal(side, 1)).select(
+            ([by] if by else []) + iv_cols + ["__bucket"]).to_pandas()
+        onk = ["__bucket"] + ([by] if by else [])
+        lf = lf.assign(__pid=np.arange(len(lf)))
+        m = lf.merge(rf, on=onk, how="inner", suffixes=("", "__rr"))
+        keep = ((m[start_out].to_numpy() <= m[point_col].to_numpy())
+                & (m[point_col].to_numpy() <= m[end_out].to_numpy()))
+        m = m[keep]
+        if how == "left":
+            miss = lf[~lf["__pid"].isin(m["__pid"])]
+            m = pd.concat([m, miss], ignore_index=True)
+        cols = [pa.array(
+            m[f.name] if f.name in m.columns
+            else pd.Series([None] * len(m)), type=f.type,
+            from_pandas=True) for f in out_sch]
+        return pa.Table.from_arrays(cols, schema=out_sch)
+
+    return both.groupby("__shard").map_groups(merge, batch_format="pyarrow")
