@@ -902,7 +902,10 @@ def _q_events_asof_join(sf_dir: str):
         # key itself is consumed by the asof match)
         return batch.append_column("purchase_ts_s", batch.column("ts_s"))
 
-    purchases = purchases.map_batches(dup_ts, batch_format="pyarrow")
+    # materialize the small aggregated side: asof_join reads .schema() of
+    # both inputs, and schema() on a derived Dataset executes its plan —
+    # without this the purchase aggregation would run twice
+    purchases = purchases.map_batches(dup_ts, batch_format="pyarrow").materialize()
     out = asof_join(clicks, purchases, on="ts_s", by="user_id",
                     how="left").to_pandas()
     for c in ("event_id", "user_id", "ts_s"):
@@ -936,8 +939,11 @@ def _q_events_range_join(sf_dir: str):
                          "user_id": batch.column("user_id"), "ts_s": ts_s})
 
     pts = ev.map_batches(to_points, batch_format="pyarrow")
+    # materialized: range_join reads intervals.schema(), which would
+    # otherwise execute the sessionize sort once for the schema probe and
+    # again in the union (sessions are tiny — one row per user-session)
     sess = sessionize_events(ev, gap_seconds=1800).select_columns(
-        ["user_id", "session_idx", "start_ts", "end_ts"])
+        ["user_id", "session_idx", "start_ts", "end_ts"]).materialize()
     out = range_join(pts, sess, point_col="ts_s", start_col="start_ts",
                      end_col="end_ts", by="user_id", bucket_width=3600,
                      how="inner").to_pandas()

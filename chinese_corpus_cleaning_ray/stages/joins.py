@@ -162,7 +162,12 @@ def asof_join(left, right, on: str, by: str, how: str = "left",
     side to one row per (key, time) first (the driver query does exactly
     that). Output column types are cast back to the declared Arrow union
     schema, so timestamp units and nullable ints survive the pandas
-    round-trip."""
+    round-trip.
+
+    Planning note: ``.schema()`` is read from BOTH inputs, and ``schema()``
+    on a Dataset derived through a wide op (groupby/sort) executes that
+    plan for its limit-1 probe — ``materialize()`` such an input first or
+    its upstream runs twice (once for the probe, once in the union)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
@@ -294,7 +299,11 @@ def range_join(points, intervals, point_col: str, start_col: str,
     it near the TYPICAL interval length (sessions → ~an hour) so both
     stay O(1)-ish. ``how="left"`` keeps unmatched points with null
     interval columns. Intervals with null bounds never match; null points
-    match nothing (and survive only under ``how="left"``)."""
+    match nothing (and survive only under ``how="left"``).
+
+    Planning note: ``.schema()`` is read from BOTH inputs — if a side is
+    derived through a wide op (e.g. sessionize's sort), ``materialize()``
+    it first or its plan executes twice (schema probe + union)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if bucket_width is None or bucket_width <= 0:
