@@ -1502,6 +1502,53 @@ def _q_doc_clean_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_pii_redact(sf_dir: str):
+    """Structured-PII redaction (emails / CN mobile / IPv4 / CN resident id
+    → typed placeholders + per-category counts). Both pyarrow and DuckDB
+    run RE2, so the oracle is the same patterns nested in the same order —
+    bit-exact including the redacted TEXT. The synthetic docs carry no PII,
+    so the derivation injects one deterministic identifier per doc_id%5
+    class (restated verbatim in SQL)."""
+    from chinese_corpus_cleaning_ray.functions.pii import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        txt = batch.column("text")
+        sid = pc.cast(ids, pa.string())
+        m = pc.cast(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 5), 5)), pa.int64())  # doc_id % 5, ids >= 0
+        email = pc.binary_join_element_wise(
+            txt, " contact user", sid, "@example.com", "")
+        phone = pc.binary_join_element_wise(
+            txt, " 电话13",
+            pc.utf8_lpad(pc.cast(pc.subtract(ids, pc.multiply(pc.divide(
+                ids, 1_000_000_000), 1_000_000_000)), pa.string()), 9, "0"), "")
+        ip = pc.binary_join_element_wise(
+            txt, " ip 10.",
+            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)),
+                    pa.string()),
+            ".0.",
+            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 100), 100)),
+                    pa.string()), "")
+        idc = pc.binary_join_element_wise(
+            txt, " id ", pc.utf8_lpad(sid, 17, "0"), "X", "")
+        out = pc.if_else(pc.equal(m, 1), email,
+              pc.if_else(pc.equal(m, 2), phone,
+              pc.if_else(pc.equal(m, 3), ip,
+              pc.if_else(pc.equal(m, 4), idc, txt))))
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", out)
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pyarrow"))
+    out = out.select_columns(["doc_id", "redacted_text", "email_count",
+                              "idcard_count", "phone_count", "ipv4_count",
+                              "pii_total"])
+    return (out.to_pandas()
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_emb_dbscan_clusters(sf_dir: str):
     """Offline DBSCAN corpus builder (ref:utils/clustering.py:49-90) as
     LSH-blocked per-bucket exact DBSCAN; no_oracle by design (approximate
@@ -1556,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_signals": _q_doc_repetition_signals,
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
+        "doc_pii_redact": _q_doc_pii_redact,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
@@ -1729,6 +1777,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # structured-PII redaction: DuckDB regexp_* are RE2, the same engine
+        # as pyarrow's string kernels, so pattern semantics (leftmost match,
+        # ASCII \b, greedy scan) agree byte-for-byte; replacements nest in
+        # the module's declared order (email -> idcard -> phone -> ipv4) and
+        # each count is taken AFTER the previous replacements, mirroring
+        # functions/pii.py:redact_pii_batch exactly
+        "doc_pii_redact": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 5 = 1 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         WHEN doc_id % 5 = 2 THEN text || ' 电话13' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+                         WHEN doc_id % 5 = 3 THEN text || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                         WHEN doc_id % 5 = 4 THEN text || ' id ' || lpad(CAST(doc_id AS VARCHAR), 17, '0') || 'X'
+                         ELSE text
+                       END AS t0
+                FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM inj),
+            s2 AS (SELECT *, CAST(len(regexp_extract_all(t1, '\\b\\d{17}[0-9Xx]\\b')) AS BIGINT) AS idcard_count,
+                          regexp_replace(t1, '\\b\\d{17}[0-9Xx]\\b', '<IDCARD>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT *, CAST(len(regexp_extract_all(t2, '\\b1[3-9]\\d{9}\\b')) AS BIGINT) AS phone_count,
+                          regexp_replace(t2, '\\b1[3-9]\\d{9}\\b', '<PHONE>', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT *, CAST(len(regexp_extract_all(t3, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS ipv4_count,
+                          regexp_replace(t3, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t4
+                   FROM s3)
+            SELECT doc_id, t4 AS redacted_text, email_count, idcard_count,
+                   phone_count, ipv4_count,
+                   email_count + idcard_count + phone_count + ipv4_count AS pii_total
+            FROM s4 ORDER BY doc_id
         """,
         # AS-OF join: literal DuckDB ASOF LEFT JOIN; right side is
         # pre-aggregated to one row per (user, second) exactly like the Ray
