@@ -1502,6 +1502,32 @@ def _q_doc_clean_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: the oracle pins the full OUTPUT ORDER,
+    not just membership — rank is assigned from the distributed sort's
+    emitted order and compared against ROW_NUMBER() over the same LCG key,
+    so a mis-ranged sort partition diverges immediately."""
+    from chinese_corpus_cleaning_ray.stages.analysis import shuffle_by_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = shuffle_by_hash(ds, id_col="doc_id", seed=7).to_pandas()
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    for c in ("doc_id", "shuffle_key"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "shuffle_key", "rank"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def _q_doc_train_val_split(sf_dir: str):
+    from chinese_corpus_cleaning_ray.stages.analysis import train_val_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = train_val_split(ds, id_col="doc_id", val_pct=10, seed=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "source", "split"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_pii_redact(sf_dir: str):
     """Structured-PII redaction (emails / CN mobile / IPv4 / CN resident id
     → typed placeholders + per-category counts). Both pyarrow and DuckDB
@@ -1604,6 +1630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
+        "doc_shuffle": _q_doc_shuffle,
+        "doc_train_val_split": _q_doc_train_val_split,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
@@ -1777,6 +1805,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # deterministic epoch shuffle: two LCG rounds on (doc_id + seed),
+        # rank = ROW_NUMBER over (key, id) pins the distributed sort's full
+        # output order bit-exactly (seed 7, same arithmetic as the Ray side)
+        "doc_shuffle": """
+            WITH k AS (
+                SELECT doc_id,
+                       ((((doc_id + 7) % 2147483648) * 1103515245 + 12345) % 2147483648
+                        * 1103515245 + 12345) % 2147483648 AS shuffle_key
+                FROM documents)
+            SELECT doc_id, shuffle_key,
+                   ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rank
+            FROM k ORDER BY doc_id
+        """,
+        # deterministic train/val labeling (seed 3, 10% val): same LCG
+        # family as doc_sample; membership is a pure function of (id, seed)
+        "doc_train_val_split": """
+            SELECT doc_id, source,
+                   CASE WHEN (((doc_id + 3) % 2147483648) * 1103515245 + 12345)
+                             % 2147483648 % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         # structured-PII redaction: DuckDB regexp_* are RE2, the same engine
         # as pyarrow's string kernels, so pattern semantics (leftmost match,

@@ -117,6 +117,55 @@ def sample_by_hash(ds, id_col: str, pct: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def shuffle_by_hash(ds, id_col: str, seed: int = 0,
+                    mult: int = 1103515245, inc: int = 12345,
+                    mod: int = 2147483648, key_col: str = "shuffle_key"):
+    """Deterministic epoch shuffle for training-data export: every row gets
+    ``key = lcg(lcg(id + seed))`` (two LCG rounds so consecutive ids
+    disperse), then ONE range-partition sort by ``(key, id)`` — Ray Data's
+    distributed sort is the scalable global shuffle (sampled range
+    boundaries, one all-to-all, no driver materialization).
+
+    Unlike ``ds.random_shuffle()`` the order is a pure function of
+    ``(id, seed)``: reproducible across block layouts, cluster sizes, and
+    resumes, and a new epoch is just a new seed. Exactly expressible in SQL
+    (same integer arithmetic), so the full output ORDER is oracle-checkable.
+    Ids must be non-negative integers (see sample_by_hash); the key column
+    stays in the output so downstream sharded writers can range-split on it."""
+    import numpy as np
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((ids + seed) % mod) * mult + inc) % mod
+        h = (h * mult + inc) % mod
+        return batch.append_column(key_col, pa.array(h))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(
+        [key_col, id_col])
+
+
+def train_val_split(ds, id_col: str, val_pct: int = 10, seed: int = 0,
+                    mult: int = 1103515245, inc: int = 12345,
+                    mod: int = 2147483648, split_col: str = "split"):
+    """Deterministic train/validation labeling: one pass adds
+    ``split_col`` ∈ {"train", "val"} via ``lcg(id + seed) % 100 < val_pct``
+    — the same LCG family as ``sample_by_hash``, so membership is
+    bit-reproducible across reruns/resume and restatable in SQL. A document
+    can never migrate between splits unless the seed changes (the property
+    decontamination pipelines rely on). Stateless vectorized stage, no
+    shuffle; ids must be non-negative integers."""
+    import numpy as np
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((ids + seed) % mod) * mult + inc) % mod
+        is_val = (h % 100) < val_pct
+        lab = np.where(is_val, "val", "train")
+        return batch.append_column(split_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 def stratified_sample(ds, key_col: str, id_col: str, per_key: int,
                       mult: int = 1103515245, inc: int = 12345,
                       mod: int = 2147483648, shards: int = 256):

@@ -1,0 +1,71 @@
+"""Deterministic epoch shuffle + train/val split: order is a pure function
+of (id, seed) — invariant to block layout; epochs differ by seed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _ids_in_order(ds):
+    return ds.to_pandas()["doc_id"].tolist()
+
+
+def test_shuffle_layout_invariant_and_seeded():
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.analysis import shuffle_by_hash
+
+    rows = [{"doc_id": i} for i in range(2000)]
+    a = ray.data.from_items(rows)
+    b = ray.data.from_items(rows).repartition(17)
+
+    o1 = _ids_in_order(shuffle_by_hash(a, "doc_id", seed=7))
+    o2 = _ids_in_order(shuffle_by_hash(b, "doc_id", seed=7))
+    assert o1 == o2  # same seed, any block layout -> identical order
+    assert sorted(o1) == list(range(2000))  # a permutation, nothing lost
+
+    o3 = _ids_in_order(shuffle_by_hash(a, "doc_id", seed=8))
+    assert o3 != o1  # new epoch = new order
+    assert sorted(o3) == list(range(2000))
+
+    # actually shuffled: ids far from identity order
+    disp = np.abs(np.array(o1) - np.arange(2000)).mean()
+    assert disp > 200
+
+
+def test_shuffle_matches_local_reference():
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.analysis import shuffle_by_hash
+
+    ids = np.arange(0, 5000, 3, dtype=np.int64)
+    ds = ray.data.from_items([{"doc_id": int(i)} for i in ids])
+    got = _ids_in_order(shuffle_by_hash(ds, "doc_id", seed=42))
+    mod, mult, inc = 2147483648, 1103515245, 12345
+    h = (((ids + 42) % mod) * mult + inc) % mod
+    h = (h * mult + inc) % mod
+    order = np.lexsort((ids, h))
+    assert got == ids[order].tolist()
+
+
+def test_train_val_split_properties():
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.analysis import train_val_split
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(10_000)])
+    out = train_val_split(ds, "doc_id", val_pct=10, seed=3).to_pandas()
+    frac = (out["split"] == "val").mean()
+    assert 0.08 < frac < 0.12  # LCG is uniform-ish at this n
+    # stable across reruns and complement-consistent
+    out2 = train_val_split(ds, "doc_id", val_pct=10, seed=3).to_pandas()
+    assert out.sort_values("doc_id")["split"].tolist() == \
+        out2.sort_values("doc_id")["split"].tolist()
+    # val_pct=0 / 100 degenerate cases
+    all_train = train_val_split(ds, "doc_id", val_pct=0).to_pandas()
+    assert (all_train["split"] == "train").all()
+    all_val = train_val_split(ds, "doc_id", val_pct=100).to_pandas()
+    assert (all_val["split"] == "val").all()
