@@ -1502,6 +1502,20 @@ def _q_doc_clean_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_quantile_filter(sf_dir: str):
+    """Adaptive outlier gate: keep documents whose n_chars lies within the
+    corpus's own exact [p05, p95] — thresholds learned in a value-count
+    pass (one row per DISTINCT length moves), then a stateless filter."""
+    from chinese_corpus_cleaning_ray.stages.analysis import quantile_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = quantile_filter(ds, "n_chars", 0.05, 0.95).to_pandas()
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_chars"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: the oracle pins the full OUTPUT ORDER,
     not just membership — rank is assigned from the distributed sort's
@@ -1630,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
+        "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -1805,6 +1820,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # adaptive quantile gate: quantile_disc is the pinned definition of
+        # exact_quantiles (value at 1-based rank max(1, ceil(q*n)))
+        "doc_quantile_filter": """
+            WITH qs AS (
+                SELECT quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents)
+            SELECT doc_id, n_chars FROM documents, qs
+            WHERE n_chars BETWEEN lo AND hi
+            ORDER BY doc_id
         """,
         # deterministic epoch shuffle: two LCG rounds on (doc_id + seed),
         # rank = ROW_NUMBER over (key, id) pins the distributed sort's full

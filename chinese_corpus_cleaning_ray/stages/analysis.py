@@ -504,6 +504,32 @@ def exact_quantiles(ds, col: str, quantiles: list[float],
                          "value": pd.Series(out, dtype=np.int64)})
 
 
+def quantile_filter(ds, col: str, lo_q: float = 0.05, hi_q: float = 0.95,
+                    max_distinct: int = 5_000_000):
+    """Adaptive outlier filtering (Gopher-style length/score gating with
+    thresholds learned from the CORPUS, not hardcoded): computes the exact
+    ``lo_q``/``hi_q`` order statistics of ``col`` via
+    :func:`exact_quantiles`, then keeps rows with ``lo ≤ col ≤ hi``.
+
+    Two passes over ``ds`` — pass 1 moves one row per DISTINCT value (the
+    value-count compaction), pass 2 is a stateless vectorized filter with
+    the two scalar thresholds captured in the closure (no broadcast join,
+    no shuffle). Pass ``ds`` as a re-readable source (a parquet read) or
+    ``materialize()`` a derived input first, as with the join operators."""
+    import pyarrow.compute as pc
+
+    qdf = exact_quantiles(ds, col, [lo_q, hi_q], max_distinct=max_distinct)
+    lo = qdf.loc[qdf["q"] == lo_q, "value"].iloc[0]
+    hi = qdf.loc[qdf["q"] == hi_q, "value"].iloc[0]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        return batch.filter(pc.and_(pc.greater_equal(v, lo),
+                                    pc.less_equal(v, hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def exact_quantiles_by_key(ds, key_col: str, col: str,
                            quantiles: list[float], shards: int = 64):
     """Per-key exact order statistics, fully distributed: per-batch

@@ -361,3 +361,33 @@ def test_boilerplate_report_counts_and_order(ray_session):
     rep2 = boilerplate_report(ray.data.from_pandas(docs), top_n=10)
     assert list(map(tuple, rep2.to_numpy())) == [
         ("ftr", 4), ("hdr", 4), ("body one", 2), ("body two", 2)]
+
+
+def test_quantile_filter_bounds_and_degenerate(ray_session):
+    """quantile_filter keeps exactly the rows DuckDB's quantile_disc window
+    admits; an all-equal column keeps everything; bounds are inclusive."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import quantile_filter
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.integers(0, 50, 900),
+                           rng.integers(1000, 2000, 100)]).astype(np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(len(vals)), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = quantile_filter(ds, "v", 0.05, 0.9).to_pandas()
+    exp = duckdb.query_df(df, "t", """
+        WITH qs AS (SELECT quantile_disc(v, 0.05) lo, quantile_disc(v, 0.9) hi FROM t)
+        SELECT doc_id, v FROM t, qs WHERE v BETWEEN lo AND hi ORDER BY doc_id
+    """).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].astype(int).tolist()
+    assert got["v"].tolist() == exp["v"].astype(int).tolist()
+
+    same = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(20), "v": [7] * 20}))
+    kept = quantile_filter(same, "v").to_pandas()
+    assert len(kept) == 20  # inclusive bounds: all-equal column survives
