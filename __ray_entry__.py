@@ -1502,6 +1502,22 @@ def _q_doc_clean_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc TF-IDF keyword extraction (char 4-grams, top 3): ranking key
+    is pure-integer (tf DESC, df ASC, gram ASC) so the oracle pins the full
+    selection bit-exactly; the float tfidf column stays out of the compare
+    (ln() is engine-specific in its last ulp)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import keyword_extract
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = keyword_extract(ds, k=4, top=3).to_pandas()
+    for c in ("doc_id", "tf", "df", "rnk"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "g", "tf", "df", "rnk"]]
+            .sort_values(["doc_id", "rnk"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def _q_doc_quantile_filter(sf_dir: str):
     """Adaptive outlier gate: keep documents whose n_chars lies within the
     corpus's own exact [p05, p95] — thresholds learned in a value-count
@@ -1644,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
+        "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
@@ -1820,6 +1837,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts_s) AS BIGINT) AS start_ts, CAST(MAX(ts_s) AS BIGINT) AS end_ts
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # per-doc TF-IDF keywords: tf per (doc, 4-gram), df per gram over
+        # the whole corpus, ROW_NUMBER by the integer key (tf DESC, df ASC,
+        # g ASC) — mirrors keyword_extract's rank_frame verbatim
+        "doc_keywords": """
+            WITH pairs AS (
+                SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 4)
+                                   for i in range(1, length(text) - 2)]) AS g
+                    FROM documents)
+                GROUP BY doc_id, g),
+            dfs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM pairs GROUP BY g),
+            ranked AS (
+                SELECT p.doc_id, p.g, p.tf, d.df,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY p.doc_id
+                           ORDER BY p.tf DESC, d.df ASC, p.g ASC) AS BIGINT) AS rnk
+                FROM pairs p JOIN dfs d USING (g))
+            SELECT doc_id, g, tf, df, rnk FROM ranked
+            WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         # adaptive quantile gate: quantile_disc is the pinned definition of
         # exact_quantiles (value at 1-based rank max(1, ceil(q*n)))

@@ -726,3 +726,129 @@ def strip_html(ds, html_col: str = "text", out_col: str = "clean_text",
         return batch.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def keyword_extract(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 4, top: int = 3,
+                    df_broadcast_limit: int = 2_000_000,
+                    shards: int | None = None,
+                    target_docs_per_shard: int = 2048,
+                    num_rows_hint: int | None = None):
+    """Per-document TF-IDF keyword extraction over character ``k``-grams:
+    for each doc, the ``top`` grams ranked by ``(tf DESC, df ASC, gram ASC)``
+    — highest in-doc frequency, rarest in the corpus, deterministic
+    tie-break. Appends the real ``tfidf = tf·ln(N/df)`` as an informational
+    double; the RANKING key is pure-integer so the result (and the driver's
+    SQL oracle) is bit-reproducible with no float-log divergence.
+
+    Plan (two passes over ``ds`` — pass a re-readable source or
+    ``materialize()`` a derived input, as with quantile_filter):
+    1. DF pass: per-batch partial distinct-doc counts per gram (same
+       partial-agg discipline as ``top_ngrams``) → gram-shard groupby →
+       full (g, df) table. One row per DISTINCT gram moves, never one per
+       occurrence.
+    2. Score pass: if the vocabulary fits ``df_broadcast_limit``, the df
+       table ships ONCE via ``ray.put`` and scoring is a stateless
+       map_batches with ZERO shuffles — a doc's grams are all computed in
+       its own batch, so per-doc top-k is batch-local. Otherwise the
+       (doc, g, tf) pair stream joins df distributedly (``hash_join`` on
+       the gram) and ranks per doc under a doc-hash-shard groupby: the
+       exact same output, two extra exchanges, never a driver-side vocab.
+
+    Returns one row per kept (doc, gram): ``(id, g, tf, df, rnk, tfidf)``.
+    """
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import _pow2_shards
+
+    n_docs = num_rows_hint if num_rows_hint is not None else ds.count()
+    if shards is None:
+        shards = _pow2_shards(n_docs, target_docs_per_shard)
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            for g in {t[i:i + k] for i in range(len(t) - k + 1)}:
+                counts[g] = counts.get(g, 0) + 1
+        grams = list(counts.keys())
+        h = (pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+             & (shards - 1)) if grams else np.array([], dtype=np.int64)
+        return pa.table({
+            "g": pa.array(grams, pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+            "shard": pa.array(h.astype(np.int32) if grams else [], pa.int32()),
+        })
+
+    def shard_sum(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("g", sort=False)["n"].sum().reset_index(name="df")
+        return agg
+
+    df_ds = (ds.map_batches(df_partials, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_sum, batch_format="pandas")
+             .materialize())
+    vocab = df_ds.count()
+
+    def doc_gram_tf(batch: pa.Table):
+        ids_out, grams_out, tf_out = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            t = t or ""
+            c = collections.Counter(t[j:j + k] for j in range(len(t) - k + 1))
+            ids_out.extend([i] * len(c))
+            grams_out.extend(c.keys())
+            tf_out.extend(c.values())
+        return ids_out, grams_out, tf_out
+
+    def rank_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "tf", "df", "g"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+        df["rnk"] = df.groupby(id_col, sort=False).cumcount() + 1
+        df = df[df["rnk"] <= top]
+        with np.errstate(divide="ignore"):
+            df["tfidf"] = df["tf"].to_numpy(dtype=np.float64) * np.log(
+                float(n_docs) / df["df"].to_numpy(dtype=np.float64))
+        return df[[id_col, "g", "tf", "df", "rnk", "tfidf"]]
+
+    if vocab <= df_broadcast_limit:
+        df_pdf = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_pdf["g"], df_pdf["df"].astype(np.int64))))
+
+        def score(batch: pa.Table) -> pa.Table:
+            dfmap = ray.get(df_ref)
+            ids_out, grams_out, tf_out = doc_gram_tf(batch)
+            pdf = pd.DataFrame({id_col: ids_out, "g": grams_out,
+                                "tf": np.asarray(tf_out, dtype=np.int64)})
+            pdf["df"] = pdf["g"].map(dfmap).astype(np.int64)
+            return pa.Table.from_pandas(rank_frame(pdf), preserve_index=False)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # distributed fallback: vocabulary too large to broadcast
+    from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_out, grams_out, tf_out = doc_gram_tf(batch)
+        return pa.table({id_col: pa.array(ids_out),
+                         "g": pa.array(grams_out, pa.string()),
+                         "tf": pa.array(tf_out, pa.int64())})
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    joined = hash_join(pair_ds, df_ds, on="g", how="inner", shards=shards)
+
+    def add_doc_shard(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch.column(id_col).to_pandas())
+        sh = (pd.util.hash_pandas_object(ids, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__dshard", pa.array(sh))
+
+    def rank_group(group: pd.DataFrame) -> pd.DataFrame:
+        return rank_frame(group.drop(columns=["__dshard"]))
+
+    return (joined.map_batches(add_doc_shard, batch_format="pyarrow")
+            .groupby("__dshard").map_groups(rank_group, batch_format="pandas"))
