@@ -1558,6 +1558,39 @@ def _q_doc_train_val_split(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic PII injection shared by the documents- and
+    transcripts-side redaction queries: one identifier per doc_id%5 class,
+    restated verbatim in both oracles (ids are non-negative, so Arrow's
+    truncating integer divide agrees with SQL's %)."""
+    ids = batch.column("doc_id")
+    txt = batch.column("text")
+    sid = pc.cast(ids, pa.string())
+    m = pc.cast(pc.subtract(ids, pc.multiply(
+        pc.divide(ids, 5), 5)), pa.int64())
+    email = pc.binary_join_element_wise(
+        txt, " contact user", sid, "@example.com", "")
+    phone = pc.binary_join_element_wise(
+        txt, " 电话13",
+        pc.utf8_lpad(pc.cast(pc.subtract(ids, pc.multiply(pc.divide(
+            ids, 1_000_000_000), 1_000_000_000)), pa.string()), 9, "0"), "")
+    ip = pc.binary_join_element_wise(
+        txt, " ip 10.",
+        pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)),
+                pa.string()),
+        ".0.",
+        pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 100), 100)),
+                pa.string()), "")
+    idc = pc.binary_join_element_wise(
+        txt, " id ", pc.utf8_lpad(sid, 17, "0"), "X", "")
+    out = pc.if_else(pc.equal(m, 1), email,
+          pc.if_else(pc.equal(m, 2), phone,
+          pc.if_else(pc.equal(m, 3), ip,
+          pc.if_else(pc.equal(m, 4), idc, txt))))
+    return batch.set_column(batch.schema.get_field_index("text"),
+                            "text", out)
+
+
 def _q_doc_pii_redact(sf_dir: str):
     """Structured-PII redaction (emails / CN mobile / IPv4 / CN resident id
     → typed placeholders + per-category counts). Both pyarrow and DuckDB
@@ -1569,40 +1602,29 @@ def _q_doc_pii_redact(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def inject(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        txt = batch.column("text")
-        sid = pc.cast(ids, pa.string())
-        m = pc.cast(pc.subtract(ids, pc.multiply(
-            pc.divide(ids, 5), 5)), pa.int64())  # doc_id % 5, ids >= 0
-        email = pc.binary_join_element_wise(
-            txt, " contact user", sid, "@example.com", "")
-        phone = pc.binary_join_element_wise(
-            txt, " 电话13",
-            pc.utf8_lpad(pc.cast(pc.subtract(ids, pc.multiply(pc.divide(
-                ids, 1_000_000_000), 1_000_000_000)), pa.string()), 9, "0"), "")
-        ip = pc.binary_join_element_wise(
-            txt, " ip 10.",
-            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)),
-                    pa.string()),
-            ".0.",
-            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 100), 100)),
-                    pa.string()), "")
-        idc = pc.binary_join_element_wise(
-            txt, " id ", pc.utf8_lpad(sid, 17, "0"), "X", "")
-        out = pc.if_else(pc.equal(m, 1), email,
-              pc.if_else(pc.equal(m, 2), phone,
-              pc.if_else(pc.equal(m, 3), ip,
-              pc.if_else(pc.equal(m, 4), idc, txt))))
-        return batch.set_column(batch.schema.get_field_index("text"),
-                                "text", out)
-
-    out = redact_pii(ds.map_batches(inject, batch_format="pyarrow"))
+    out = redact_pii(ds.map_batches(_inject_pii_batch, batch_format="pyarrow"))
     out = out.select_columns(["doc_id", "redacted_text", "email_count",
                               "idcard_count", "phone_count", "ipv4_count",
                               "pii_total"])
     return (out.to_pandas()
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def _q_transcripts_pii_redact(sf_dir: str):
+    """The north rule's PII scrub on its OWN table shape: per-turn
+    structured-PII redaction over the derived (conv_id, turn_idx, role,
+    text, tool, ts-less) transcript corpus, keep-order stable by
+    (conv_id, turn_idx). Same RE2 patterns / injection classes as
+    doc_pii_redact, keyed off the underlying doc_id."""
+    from chinese_corpus_cleaning_ray.functions.pii import redact_pii
+
+    ds = _transcripts_ds(sf_dir).map_batches(
+        _inject_pii_batch, batch_format="pyarrow")
+    out = redact_pii(ds).select_columns(
+        ["conv_id", "turn_idx", "role", "redacted_text", "pii_total"])
+    return (out.to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 def _q_emb_dbscan_clusters(sf_dir: str):
@@ -1660,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
+        "transcripts_pii_redact": _q_transcripts_pii_redact,
         "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_shuffle": _q_doc_shuffle,
@@ -1927,6 +1950,36 @@ def oracle_sql() -> dict[str, str]:
                    phone_count, ipv4_count,
                    email_count + idcard_count + phone_count + ipv4_count AS pii_total
             FROM s4 ORDER BY doc_id
+        """,
+        # transcripts-side PII scrub: derive CTE + the same injection CASE
+        # and nested RE2 replace chain as doc_pii_redact, per turn
+        "transcripts_pii_redact": f"""
+            WITH t AS ({_DERIVE_SQL}),
+            inj AS (
+                SELECT conv_id, turn_idx, role,
+                       CASE
+                         WHEN doc_id % 5 = 1 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         WHEN doc_id % 5 = 2 THEN text || ' 电话13' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+                         WHEN doc_id % 5 = 3 THEN text || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                         WHEN doc_id % 5 = 4 THEN text || ' id ' || lpad(CAST(doc_id AS VARCHAR), 17, '0') || 'X'
+                         ELSE text
+                       END AS t0
+                FROM t),
+            s1 AS (SELECT *, CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS c1,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
+                   FROM inj),
+            s2 AS (SELECT *, CAST(len(regexp_extract_all(t1, '\\b\\d{{17}}[0-9Xx]\\b')) AS BIGINT) AS c2,
+                          regexp_replace(t1, '\\b\\d{{17}}[0-9Xx]\\b', '<IDCARD>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT *, CAST(len(regexp_extract_all(t2, '\\b1[3-9]\\d{{9}}\\b')) AS BIGINT) AS c3,
+                          regexp_replace(t2, '\\b1[3-9]\\d{{9}}\\b', '<PHONE>', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT *, CAST(len(regexp_extract_all(t3, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS c4,
+                          regexp_replace(t3, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t4
+                   FROM s3)
+            SELECT conv_id, turn_idx, role, t4 AS redacted_text,
+                   c1 + c2 + c3 + c4 AS pii_total
+            FROM s4 ORDER BY conv_id, turn_idx
         """,
         # AS-OF join: literal DuckDB ASOF LEFT JOIN; right side is
         # pre-aggregated to one row per (user, second) exactly like the Ray
