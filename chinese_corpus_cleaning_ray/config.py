@@ -86,6 +86,8 @@ class PipelineConfig:
     enable_clustering: bool = False        # ref:config/config.py:51
     enable_langid: bool = True             # langid column stage (north-star requirement)
     enable_scrub: bool = True              # EP2 step 2 (ref:main.py:363-418)
+    enable_pii_redact: bool = False        # structured PII pass (no ref analogue;
+                                           # additive redacted_text + counts)
     quality_threshold: float = 0.8         # ref:config/config.py:53
     # component weights — ref:config/config.py:55-60
     weight_rule: float = 0.3

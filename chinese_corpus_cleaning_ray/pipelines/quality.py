@@ -39,7 +39,8 @@ def build_quality_pipeline(
 
     lang, lang_conf, is_zh, rule_pass, rule_score, rule_error,
     feature_pass, feature_score, feature_count, scrubbed_text,
-    sensitive_count, [ppl, ppl_pass, ppl_score,] quality_score, keep.
+    sensitive_count, [ppl, ppl_pass, ppl_score,] quality_score, keep,
+    [redacted_text, *_count, pii_total when cfg.enable_pii_redact].
     """
     if cfg.enable_langid or cfg.enable_rule_filter:
         ds = ds.map_batches(
@@ -102,6 +103,15 @@ def build_quality_pipeline(
                 num_cpus=1,
             )
     ds = ds.map_batches(make_score_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    if getattr(cfg, "enable_pii_redact", False):
+        # structured-PII pass (emails / CN mobile / IPv4 / resident id) on
+        # the word-scrubbed text — ADDITIVE (redacted_text + counts) so the
+        # reference-parity scrubbed_text column is untouched; stateless RE2
+        # task stage, same shape as the kernels above
+        from chinese_corpus_cleaning_ray.functions.pii import redact_pii
+
+        src = "scrubbed_text" if cfg.enable_scrub else "text"
+        ds = redact_pii(ds, text_col=src)
     return ds
 
 

@@ -111,3 +111,30 @@ def test_redact_pii_dataset_op():
         "reach me: <EMAIL> or <PHONE>", "clean"]
     assert list(out["pii_total"]) == [2, 0]
     assert str(out["email_count"].dtype) == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_pipeline_pii_toggle():
+    """enable_pii_redact appends redacted_text/pii_total AFTER the word
+    scrub (the structured pass sees scrubbed_text), and the parity-bearing
+    scrubbed_text column is untouched."""
+    import dataclasses
+
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
+    from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, enable_pii_redact=True)
+    ds = ray.data.from_items([
+        {"conv_id": "c0", "turn_idx": 0,
+         "text": "这是一段足够长的正常中文文本，请联系 someone@example.com 获取更多信息，质量检查应当通过。"},
+    ])
+    out = build_quality_pipeline(ds, cfg).to_pandas()
+    assert "redacted_text" in out.columns and "pii_total" in out.columns
+    assert "<EMAIL>" in out["redacted_text"].iloc[0]
+    assert out["pii_total"].iloc[0] == 1
+    assert "someone@example.com" in out["scrubbed_text"].iloc[0]  # untouched
+
+    off = build_quality_pipeline(ds, DEFAULT_CONFIG).to_pandas()
+    assert "redacted_text" not in off.columns
