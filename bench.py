@@ -90,7 +90,9 @@ def run_bench() -> dict:
                      "events_topk_per_type", "knn_brute", "transcripts_quality",
                      "doc_top_ngrams", "doc_contamination",
                      "doc_paragraph_dedup", "doc_paragraph_dedup_keeper",
-                     "doc_duplicate_components"):
+                     "doc_duplicate_components", "doc_pii_redact",
+                     "doc_shuffle", "doc_keywords", "events_asof_join",
+                     "events_range_join"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

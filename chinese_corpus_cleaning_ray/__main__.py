@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="paragraphs shorter than this always survive")
     pdp.add_argument("--num-cpus", type=int, default=None)
 
+    pii = sub.add_parser("redactpii")
+    pii.add_argument("--input", required=True,
+                     help="parquet with a text column")
+    pii.add_argument("--output", required=True)
+    pii.add_argument("--text-col", default="text")
+    pii.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -215,6 +222,32 @@ def main(argv: list[str] | None = None) -> int:
                 ).write_parquet(os.path.join(args.output, "embeddings"))
             stats = quality_counters(scored)  # ungrouped aggregate → dict
             print(json.dumps({k: int(v) for k, v in stats.items()}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "redactpii":
+        # structured-PII pass as a standalone preprocessing step: parquet in,
+        # parquet out with redacted_text + per-category counts appended, and
+        # run-level totals on stdout
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.functions.pii import (
+                PII_PATTERNS,
+                redact_pii,
+            )
+
+            out = redact_pii(rd.read_parquet(args.input),
+                             text_col=args.text_col).materialize()
+            out.write_parquet(args.output)
+            totals = {f"{name}_count": int(out.sum(f"{name}_count") or 0)
+                      for name, _, _ in PII_PATTERNS}
+            totals["pii_total"] = int(out.sum("pii_total") or 0)
+            print(json.dumps({"rows": out.count(), "output": args.output,
+                              **totals}))
             return 0
         finally:
             if owned:
