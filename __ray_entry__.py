@@ -1178,6 +1178,27 @@ def _q_doc_incremental_dedup(sf_dir: str):
     )
 
 
+def _q_doc_incremental_dedup_bloom(sf_dir: str):
+    """Same semantics as doc_incremental_dedup (same oracle restatement) but
+    through the blocked-Bloom prefilter path: the Bloom routes
+    possibly-seen rows to exact verification and passes definitely-new
+    rows through untouched — output must stay bit-identical."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import dedup_against_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    seen = ds.map_batches(lambda b: b.filter(pc.less(b.column("doc_id"), 250)),
+                          batch_format="pyarrow")
+    new = ds.map_batches(lambda b: b.filter(pc.greater_equal(b.column("doc_id"), 250)),
+                         batch_format="pyarrow")
+    out, _ = dedup_against_corpus(new, seen, id_col="doc_id", strategy="bloom")
+    return (
+        out.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_stratified_sample(sf_dir: str):
     """≤5 docs per source, smallest LCG-hash(id) wins — data-mixing quotas."""
     from chinese_corpus_cleaning_ray.stages.analysis import stratified_sample
@@ -1673,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_token_budget": _q_doc_token_budget,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_incremental_dedup_bloom": _q_doc_incremental_dedup_bloom,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
@@ -2098,6 +2120,19 @@ def oracle_sql() -> dict[str, str]:
         # dedup_against_corpus (64-bit content hash ≡ text equality,
         # collision-free at oracle scale)
         "doc_incremental_dedup": """
+            WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+            fresh AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id >= 250 AND text NOT IN (SELECT text FROM seen))
+            SELECT doc_id FROM fresh
+            WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2
+                            WHERE f2.text = fresh.text)
+            ORDER BY doc_id
+        """,
+        # the Bloom-prefiltered path must produce the IDENTICAL result —
+        # the filter only routes rows between "skip join" and "verify
+        # exactly", it never decides a duplicate by itself
+        "doc_incremental_dedup_bloom": """
             WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
             fresh AS (
                 SELECT doc_id, text FROM documents

@@ -617,9 +617,70 @@ def _verified_minhash_pairs(ds, sharded_bands, id_col: str, text_col: str,
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 
+def build_bloom(hash_ds, n_keys_hint: int | None = None,
+                bits_per_key: int = 16, k: int = 7,
+                target_words_per_shard: int = 1 << 20):
+    """Distributed blocked-Bloom build over a one-column ``text_hash``
+    Dataset. Each key's k probe bits live in ONE 512-bit block
+    (functions/bloom.py), so the build is the standard partial-agg shape:
+    per-batch word-mask pre-OR → groupby word-RANGE shard → per-shard OR
+    into a blob segment → the driver assembles exactly bitmap-size bytes
+    (one blob row per shard, never per-key traffic). At 16 bits/key the
+    bitmap is 2 bytes per seen doc — 2 GB for 10^9 docs, broadcastable —
+    where the exact hash set would be 8 GB plus set overhead."""
+    import numpy as np
+
+    from chinese_corpus_cleaning_ray.functions.bloom import (
+        BLOCK_WORDS,
+        BlockedBloom,
+        batch_word_updates,
+        n_blocks_for,
+    )
+
+    n = n_keys_hint if n_keys_hint is not None else hash_ds.count()
+    n_blocks = n_blocks_for(max(1, n), bits_per_key)
+    n_words = n_blocks * BLOCK_WORDS
+    n_shards = max(1, -(-n_words // target_words_per_shard))
+    wps = -(-n_words // n_shards)  # words per shard
+
+    def updates(batch: pa.Table) -> pa.Table:
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.uint64()),
+                             "shard": pa.array([], pa.int32())})
+        w, m = batch_word_updates(h.astype(np.int64), n_blocks, k)
+        return pa.table({"w": pa.array(w, pa.int64()),
+                         "m": pa.array(m, pa.uint64()),
+                         "shard": pa.array((w // wps).astype(np.int32))})
+
+    def segment(group):
+        import pandas as pd  # noqa: F401
+
+        if len(group) == 0:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "blob": pa.array([], pa.binary())})
+        sh = int(group["shard"].iloc[0])
+        seg = np.zeros(wps, dtype=np.uint64)
+        np.bitwise_or.at(seg, group["w"].to_numpy() - sh * wps,
+                         group["m"].to_numpy().astype(np.uint64))
+        return pa.table({"shard": pa.array([sh], pa.int32()),
+                         "blob": pa.array([seg.tobytes()], pa.binary())})
+
+    segs = (hash_ds.map_batches(updates, batch_format="pyarrow")
+            .groupby("shard").map_groups(segment, batch_format="pandas")
+            .to_pandas())
+    words = np.zeros(n_shards * wps, dtype=np.uint64)
+    for _, row in segs.iterrows():
+        sh = int(row["shard"])
+        words[sh * wps:(sh + 1) * wps] = np.frombuffer(row["blob"], np.uint64)
+    return BlockedBloom(n_blocks, k, words[:n_words])
+
+
 def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
                          seen_text_col: str = "text", strategy: str = "auto",
-                         broadcast_limit: int = 2_000_000):
+                         broadcast_limit: int = 2_000_000,
+                         bloom_bits_per_key: int = 16):
     """Incremental ingestion: drop rows of ``ds`` whose text already exists
     in ``seen_ds`` (the committed corpus), THEN exact-dedup the survivors
     among themselves (keep-first by id). The daily-batch shape: yesterday's
@@ -631,7 +692,15 @@ def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
     seen side should be a column-pruned read of just the text (or a stored
     hash column) — never the full corpus rows. Returns
     ``(new_unique_ds, dup_ids)``; run ``add_text_hash`` over the output to
-    extend a stored hash index for the next batch."""
+    extend a stored hash index for the next batch.
+
+    ``strategy="bloom"`` keeps the output BIT-IDENTICAL but prefilters with
+    a blocked Bloom over the seen hashes (:func:`build_bloom`): "not in
+    Bloom" rows are definitively new and skip the anti-join entirely; only
+    the (FP-rate + true-dup)-sized candidate slice pays the exact
+    verification. At 16 bits/key the broadcast is 2 bytes per seen doc vs
+    8+ for the exact hash set — the daily-ingest scale path when the
+    committed corpus has grown past the hash-set broadcast limit."""
     # shard-size the downstream exact_dedup from the INPUT row count (a
     # metadata-only count when ds is a parquet read, and always an upper
     # bound on the anti-filter's output) — letting exact_dedup count its
@@ -640,8 +709,33 @@ def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
     n_hint = ds.count()
     hashed = add_text_hash(ds, text_col)
     seen_hashes = add_text_hash(seen_ds, seen_text_col).select_columns(["text_hash"])
-    fresh, dups = anti_filter(hashed, seen_hashes, "text_hash",
-                              strategy=strategy, broadcast_limit=broadcast_limit)
+    if strategy == "bloom":
+        import numpy as np
+        import ray
+
+        seen_hashes = seen_hashes.materialize()  # consumed twice below
+        bloom = build_bloom(seen_hashes, bits_per_key=bloom_bits_per_key)
+        bloom_ref = ray.put(bloom)
+
+        def split(flag: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                bf = ray.get(bloom_ref)
+                h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+                hit = bf.contains(h.astype(np.int64))
+                return batch.filter(pa.array(hit if flag else ~hit))
+
+            return fn
+
+        candidates = hashed.map_batches(split(True), batch_format="pyarrow")
+        certain_new = hashed.map_batches(split(False), batch_format="pyarrow")
+        fresh_cand, dups = anti_filter(candidates, seen_hashes, "text_hash",
+                                       strategy="auto",
+                                       broadcast_limit=broadcast_limit)
+        fresh = certain_new.union(fresh_cand)
+    else:
+        fresh, dups = anti_filter(hashed, seen_hashes, "text_hash",
+                                  strategy=strategy,
+                                  broadcast_limit=broadcast_limit)
 
     def drop_hash(batch: pa.Table) -> pa.Table:
         return batch.drop_columns(["text_hash"])
