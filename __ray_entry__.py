@@ -863,6 +863,22 @@ def _q_events_sessionize(sf_dir: str):
     return out
 
 
+def _q_events_burst_flags(sf_dir: str):
+    """Per-type hourly burst detection: integer-exact trailing-window
+    comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
+    hours) — no float stddev anywhere, so the flag column oracles
+    bit-exactly."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import burst_flags
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    out = burst_flags(ds, window_hours=24, factor_num=2, factor_den=1,
+                      min_baseline_hours=3)
+    for c in ("hour_bucket", "n_events", "baseline_hours", "baseline_events"):
+        out[c] = out[c].astype("int64")
+    out["is_burst"] = out["is_burst"].astype(bool)
+    return out
+
+
 def _q_events_asof_join(sf_dir: str):
     """AS-OF join (custom operator — Ray Data has none): each click event
     picks up the most recent at-or-before purchase of the SAME user
@@ -1716,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conversation_stats": _q_conversation_stats,
         "events_sessionize": _q_events_sessionize,
         "events_asof_join": _q_events_asof_join,
+        "events_burst_flags": _q_events_burst_flags,
         "events_range_join": _q_events_range_join,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_turn_dedup": _q_transcripts_turn_dedup,
@@ -2002,6 +2019,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, t4 AS redacted_text,
                    c1 + c2 + c3 + c4 AS pii_total
             FROM s4 ORDER BY conv_id, turn_idx
+        """,
+        # burst detection: RANGE trailing window over present hours; the
+        # flag inequality is pure-integer (n*hours > 2*sum), mirroring
+        # pipelines/conversations.py:burst_flags verbatim
+        "events_burst_flags": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+            w AS (
+                SELECT event_type, hour_bucket, n_events,
+                       CAST(COALESCE(SUM(n_events) OVER tw, 0) AS BIGINT) AS baseline_events,
+                       CAST(COUNT(*) OVER tw AS BIGINT) AS baseline_hours
+                FROM h
+                WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket
+                              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, hour_bucket, n_events, baseline_hours,
+                   baseline_events,
+                   (baseline_hours >= 3
+                    AND n_events * baseline_hours > 2 * baseline_events) AS is_burst
+            FROM w ORDER BY event_type, hour_bucket
         """,
         # AS-OF join: literal DuckDB ASOF LEFT JOIN; right side is
         # pre-aggregated to one row per (user, second) exactly like the Ray

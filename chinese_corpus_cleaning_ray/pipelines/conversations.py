@@ -131,6 +131,66 @@ def sliding_window_counts(ds, window_hours: int = 3):
     })
 
 
+def burst_flags(ds, window_hours: int = 24, factor_num: int = 2,
+                factor_den: int = 1, min_baseline_hours: int = 3):
+    """Per-event-type burst detection over hourly counts: an hour is a
+    BURST when its count exceeds ``factor`` × the trailing-window hourly
+    average (present hours in ``[hour-window, hour-1]``, RANGE semantics).
+    The comparison is INTEGER-exact — ``n · baseline_hours · den >
+    factor_num · baseline_sum`` — so the flag is bit-reproducible and
+    restatable in SQL with no float-stddev divergence; hours with fewer
+    than ``min_baseline_hours`` trailing present hours are never flagged
+    (cold start).
+
+    Plan: one pre-aggregated groupby to (event_type, hour) counts — the
+    shuffle moves counts, never events — then the trailing windows are a
+    vectorized prefix-sum + searchsorted per type on the tiny aggregate
+    (same post-aggregation discipline as sliding_window_counts)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        # normalize the unit first: a pandas-sourced block is timestamp[ns]
+        # while parquet reads are [us] — a raw int64 cast would be 1000× off
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64()),
+        })
+
+    hourly = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values(["event_type", "hour_bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out = []
+    for _, g in hourly.groupby("event_type", sort=False):
+        hours = g["hour_bucket"].to_numpy(np.int64)
+        n = g["n_events"].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(hours, hours - window_hours, side="left")
+        hi = np.searchsorted(hours, hours, side="left")  # exclusive of self
+        base_sum = csum[hi] - csum[lo]
+        base_cnt = hi - lo
+        flag = (base_cnt >= min_baseline_hours) & (
+            n * base_cnt * factor_den > factor_num * base_sum)
+        out.append(pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "hour_bucket": hours,
+            "n_events": n,
+            "baseline_hours": base_cnt.astype(np.int64),
+            "baseline_events": base_sum.astype(np.int64),
+            "is_burst": flag,
+        }))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["event_type", "hour_bucket"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def conversation_keep(scored_ds, pass_col: str = "rule_pass",
                       min_pass_ratio: float = 0.5):
     """Conversation-LEVEL keep decision over a per-turn scored Dataset: a

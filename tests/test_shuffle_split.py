@@ -69,3 +69,36 @@ def test_train_val_split_properties():
     assert (all_train["split"] == "train").all()
     all_val = train_val_split(ds, "doc_id", val_pct=100).to_pandas()
     assert (all_val["split"] == "val").all()
+
+
+def test_burst_flags_planted_spike():
+    """A steady 2-events/hour baseline with a 50-event spike hour: only the
+    spike flags; cold-start hours (under min_baseline_hours of history)
+    never flag even when loud."""
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import burst_flags
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for h in range(30):
+        per = 50 if h == 20 else 2
+        for i in range(per):
+            rows.append({"event_type": "click",
+                         "ts": base + datetime.timedelta(hours=h, seconds=i)})
+    # a second type that is loud from hour 0 (no baseline -> never flagged)
+    for i in range(100):
+        rows.append({"event_type": "view",
+                     "ts": base + datetime.timedelta(seconds=i)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = burst_flags(ds, window_hours=24, min_baseline_hours=3)
+    clicks = out[out["event_type"] == "click"].set_index("hour_bucket")
+    base_hour = int(base.timestamp() // 3600)
+    assert bool(clicks.loc[base_hour + 20, "is_burst"])
+    flagged = clicks[clicks["is_burst"]].index.tolist()
+    assert flagged == [base_hour + 20]  # nothing else flags
+    views = out[out["event_type"] == "view"]
+    assert not views["is_burst"].any()  # cold start never flags
