@@ -36,7 +36,8 @@ def conversation_stats(ds):
                 "conv_id": batch.column("conv_id").to_pylist(),
                 "role": batch.column("role").to_pylist(),
                 "chars": pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False),
-                "ts": pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False),
+                "ts": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
             }
         )
         g = df.groupby("conv_id").agg(
@@ -108,7 +109,9 @@ def sliding_window_counts(ds, window_hours: int = 3):
     from ray.data.aggregate import Count
 
     def bucket(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch.column("ts"), pa.int64())
+        # unit-normalize first (pandas blocks are ns, parquet us)
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
         return pa.table({"hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64())})
 
     hourly = (
@@ -272,7 +275,10 @@ def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy()
-        ts_s = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        # unit-normalize before the integer view (ns-sourced pandas blocks
+        # would otherwise read 1000x off against the [us] parquet schema)
+        ts_s = (g["ts"].astype("datetime64[us]").astype("int64")
+                // 1_000_000).to_numpy()
         n = len(g)
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
