@@ -426,4 +426,19 @@ def range_join(points, intervals, point_col: str, start_col: str,
             from_pandas=True) for f in out_sch]
         return pa.Table.from_arrays(cols, schema=out_sch)
 
-    return both.groupby("__shard").map_groups(merge, batch_format="pyarrow")
+    joined = both.groupby("__shard").map_groups(merge, batch_format="pyarrow")
+    if how != "left":
+        return joined
+
+    # null points have no bucket, so they bypass the exchange entirely and
+    # rejoin the output here with null interval columns (left semantics)
+    import pyarrow.compute as pc
+
+    def null_points(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_null(batch.column(point_col)))
+        cols = [b.column(f.name).cast(f.type) if f.name in b.column_names
+                else pa.nulls(b.num_rows, f.type) for f in out_sch]
+        return pa.Table.from_arrays(cols, schema=out_sch)
+
+    return joined.union(points.map_batches(null_points,
+                                           batch_format="pyarrow"))

@@ -184,3 +184,25 @@ def test_range_join_suffix_collision(ray_session):
                      point_col="t", start_col="lo", end_col="hi",
                      bucket_width=4).to_pandas()
     assert out["tag"].tolist() == ["p"] and out["tag_r"].tolist() == ["i"]
+
+
+def test_range_join_null_points_left_semantics(ray_session):
+    """how='left' keeps null-t points (null interval cols, no bucket trip);
+    how='inner' drops them."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.joins import range_join
+
+    points = pd.DataFrame({"k": [1, 1, 2], "t": [5.0, np.nan, np.nan],
+                           "pid": [0, 1, 2]})
+    ivs = pd.DataFrame({"k": [1], "lo": [0], "hi": [10], "iid": [7]})
+    left = range_join(rd.from_pandas(points), rd.from_pandas(ivs),
+                      point_col="t", start_col="lo", end_col="hi", by="k",
+                      bucket_width=100, how="left").to_pandas()
+    left = left.sort_values("pid").reset_index(drop=True)
+    assert left["pid"].tolist() == [0, 1, 2]
+    assert left["iid"].notna().tolist() == [True, False, False]
+    inner = range_join(rd.from_pandas(points), rd.from_pandas(ivs),
+                       point_col="t", start_col="lo", end_col="hi", by="k",
+                       bucket_width=100, how="inner").to_pandas()
+    assert inner["pid"].tolist() == [0]
