@@ -138,11 +138,14 @@ def hash_join(left, right, on: str, how: str = "inner",
 
 def asof_join(left, right, on: str, by: str, how: str = "left",
               right_suffix: str = "_r", shards: int | None = None,
-              tolerance=None):
+              tolerance=None, direction: str = "backward"):
     """Distributed AS-OF join: for each left row, attach the columns of the
     single right row with the same ``by`` key and the greatest ``on`` value
-    ≤ the left row's ``on`` (backward direction — the "most recent fact at
-    or before this event" lookup SQL spells ``ASOF JOIN``).
+    ≤ the left row's ``on`` (``direction="backward"``, the default — the
+    "most recent fact at or before this event" lookup SQL spells
+    ``ASOF JOIN``). ``"forward"`` matches the smallest ``on`` ≥ the left's
+    (next-scheduled-fact lookup); ``"nearest"`` the closest in either
+    direction (ties resolve backward, pandas semantics).
 
     Ray Data has no asof join; the reference has no joins at all. The plan
     is the same one-shuffle shape as :func:`hash_join`: both sides are
@@ -170,6 +173,9 @@ def asof_join(left, right, on: str, by: str, how: str = "left",
     its upstream runs twice (once for the probe, once in the union)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}")
     from chinese_corpus_cleaning_ray.stages.pools import cluster_cpus
 
     if shards is None:
@@ -257,7 +263,7 @@ def asof_join(left, right, on: str, by: str, how: str = "left",
         l_ok = lf[lf[on].notna()].sort_values(
             on, kind="mergesort").reset_index(drop=True)
         merged = pd.merge_asof(l_ok, rf, on=on, by=by, suffixes=("", "__rr"),
-                               direction="backward", tolerance=tolerance)
+                               direction=direction, tolerance=tolerance)
         if on + "__rr" in merged.columns:  # pandas keeps one `on`; guard
             merged = merged.drop(columns=[on + "__rr"])
         if how == "inner":

@@ -206,3 +206,47 @@ def test_range_join_null_points_left_semantics(ray_session):
                        point_col="t", start_col="lo", end_col="hi", by="k",
                        bucket_width=100, how="inner").to_pandas()
     assert inner["pid"].tolist() == [0]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_directions_match_local_merge_asof(ray_session, direction):
+    """Randomized equivalence with a driver-side merge_asof for every
+    direction: the distributed shard plan must be invisible."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.joins import asof_join
+
+    rng = np.random.RandomState(23)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 6, 300),
+        "t": rng.randint(0, 1000, 300).astype(np.int64),
+        "lid": np.arange(300),
+    })
+    right = (pd.DataFrame({
+        "k": rng.randint(0, 6, 120),
+        "t": rng.randint(0, 1000, 120).astype(np.int64),
+        "val": rng.randn(120),
+    }).groupby(["k", "t"], as_index=False).agg(val=("val", "max")))
+
+    out = asof_join(rd.from_pandas(left).repartition(5),
+                    rd.from_pandas(right).repartition(3),
+                    on="t", by="k", how="left",
+                    direction=direction).to_pandas()
+    exp = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                        right.sort_values("t", kind="mergesort"),
+                        on="t", by="k", direction=direction)
+    out = out.sort_values("lid").reset_index(drop=True)
+    exp = exp.sort_values("lid").reset_index(drop=True)
+    assert out["lid"].tolist() == exp["lid"].tolist()
+    assert np.allclose(out["val"].to_numpy(float),
+                       exp["val"].to_numpy(float), equal_nan=True)
+
+
+def test_asof_join_rejects_bad_direction(ray_session):
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.joins import asof_join
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "t": [1]}))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ds, ds, on="t", by="k", direction="sideways")
