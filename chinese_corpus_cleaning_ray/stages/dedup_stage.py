@@ -644,15 +644,30 @@ def build_bloom(hash_ds, n_keys_hint: int | None = None,
     wps = -(-n_words // n_shards)  # words per shard
 
     def updates(batch: pa.Table) -> pa.Table:
+        # ONE ROW PER (batch, touched shard), updates packed as binary blobs
+        # — the shuffle's row count is batches × shards, not keys × k (a
+        # 35M-row update stream through a sort-based groupby measured ~50×
+        # slower than the same payload packed into ~640 blob rows)
         h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        empty = pa.table({"shard": pa.array([], pa.int32()),
+                          "w_blob": pa.array([], pa.binary()),
+                          "m_blob": pa.array([], pa.binary())})
         if len(h) == 0:
-            return pa.table({"w": pa.array([], pa.int64()),
-                             "m": pa.array([], pa.uint64()),
-                             "shard": pa.array([], pa.int32())})
+            return empty
         w, m = batch_word_updates(h.astype(np.int64), n_blocks, k)
-        return pa.table({"w": pa.array(w, pa.int64()),
-                         "m": pa.array(m, pa.uint64()),
-                         "shard": pa.array((w // wps).astype(np.int32))})
+        sh = (w // wps).astype(np.int32)
+        order = np.argsort(sh, kind="stable")
+        w, m, sh = w[order], m[order], sh[order]
+        bounds = np.flatnonzero(np.diff(sh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sh)]))
+        return pa.table({
+            "shard": pa.array(sh[starts], pa.int32()),
+            "w_blob": pa.array([w[a:b].tobytes() for a, b in zip(starts, ends)],
+                               pa.binary()),
+            "m_blob": pa.array([m[a:b].tobytes() for a, b in zip(starts, ends)],
+                               pa.binary()),
+        })
 
     def segment(group):
         import pandas as pd  # noqa: F401
@@ -662,8 +677,11 @@ def build_bloom(hash_ds, n_keys_hint: int | None = None,
                              "blob": pa.array([], pa.binary())})
         sh = int(group["shard"].iloc[0])
         seg = np.zeros(wps, dtype=np.uint64)
-        np.bitwise_or.at(seg, group["w"].to_numpy() - sh * wps,
-                         group["m"].to_numpy().astype(np.uint64))
+        w = np.concatenate([np.frombuffer(b, np.int64)
+                            for b in group["w_blob"]])
+        m = np.concatenate([np.frombuffer(b, np.uint64)
+                            for b in group["m_blob"]])
+        np.bitwise_or.at(seg, w - sh * wps, m)
         return pa.table({"shard": pa.array([sh], pa.int32()),
                          "blob": pa.array([seg.tobytes()], pa.binary())})
 

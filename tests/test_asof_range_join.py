@@ -250,3 +250,29 @@ def test_asof_join_rejects_bad_direction(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"k": [1], "t": [1]}))
     with pytest.raises(ValueError, match="direction"):
         asof_join(ds, ds, on="t", by="k", direction="sideways")
+
+
+def test_joins_survive_hot_key_skew(ray_session):
+    """All rows on ONE by-key: the plan inflates one shard (never one Python
+    group per key) and stays correct."""
+    import ray.data as rd
+
+    from chinese_corpus_cleaning_ray.stages.joins import asof_join, range_join
+
+    n = 20_000
+    left = pd.DataFrame({"k": np.ones(n, dtype=np.int64),
+                         "t": np.arange(n, dtype=np.int64),
+                         "lid": np.arange(n)})
+    right = pd.DataFrame({"k": [1, 1], "t": [0, 10_000],
+                          "val": [1.0, 2.0]})
+    out = asof_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(right), on="t", by="k").to_pandas()
+    assert len(out) == n
+    assert (out.loc[out["t"] < 10_000, "val"] == 1.0).all()
+    assert (out.loc[out["t"] >= 10_000, "val"] == 2.0).all()
+
+    ivs = pd.DataFrame({"k": [1], "lo": [0], "hi": [n], "iid": [0]})
+    rj = range_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(ivs), point_col="t", start_col="lo",
+                    end_col="hi", by="k", bucket_width=1000).to_pandas()
+    assert len(rj) == n  # every point in the single spanning interval, once
