@@ -852,3 +852,49 @@ def keyword_extract(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return (joined.map_batches(add_doc_shard, batch_format="pyarrow")
             .groupby("__dshard").map_groups(rank_group, batch_format="pandas"))
+
+
+def export_training_shards(ds, out_dir: str, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           shard_tokens: int = 1_000_000, seed: int = 0,
+                           mult: int = 1103515245, inc: int = 12345,
+                           mod: int = 2147483648):
+    """Training-data export: write the corpus as ``shard=<k>/`` parquet
+    directories of ≈ ``shard_tokens`` whitespace-token mass each — the
+    unit downstream training jobs consume and resume over (a failed reader
+    re-pulls one shard directory, never one giant file).
+
+    Shard membership is the two-round LCG of ``(id, seed)`` mod n_shards —
+    deterministic (rerunning the export reproduces byte-identical shard
+    membership), embarrassingly parallel, and NO shuffle: sizing needs one
+    cheap token-sum aggregate, assignment is a stateless map, and
+    ``write_parquet(partition_cols)`` routes rows. Random assignment gives
+    each shard a near-equal EXPECTED mass (CLT: relative deviation
+    ~1/sqrt(docs per shard)); exact per-shard budgets are what
+    ``token_budget_sample`` is for. Ids must be non-negative integers.
+
+    Returns ``{"n_shards", "total_tokens", "rows", "out_dir"}``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        # ASCII-whitespace token runs (RE2 \S+), vectorized
+        n = pc.count_substring_regex(batch.column(text_col), pattern=r"\S+")
+        return pa.table({"toks": pc.cast(n, pa.int64())})
+
+    tok_ds = ds.map_batches(count_tokens, batch_format="pyarrow")
+    total_tokens = int(tok_ds.sum("toks") or 0)
+    rows = ds.count()
+    n_shards = max(1, -(-total_tokens // shard_tokens))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((ids + seed) % mod) * mult + inc) % mod
+        h = (h * mult + inc) % mod
+        return batch.append_column("shard",
+                                   pa.array((h % n_shards).astype(np.int64)))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"])
+    return {"n_shards": int(n_shards), "total_tokens": total_tokens,
+            "rows": int(rows), "out_dir": out_dir}

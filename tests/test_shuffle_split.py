@@ -102,3 +102,49 @@ def test_burst_flags_planted_spike():
     assert flagged == [base_hour + 20]  # nothing else flags
     views = out[out["event_type"] == "view"]
     assert not views["is_burst"].any()  # cold start never flags
+
+
+def test_export_training_shards(tmp_path):
+    """Shards land at ≈ shard_tokens mass each, membership is deterministic
+    across reruns, and the read-back corpus is row-complete."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.analysis import export_training_shards
+
+    rows = [{"doc_id": i, "text": "tok " * 100} for i in range(3000)]
+    ds = ray.data.from_items(rows).repartition(6)
+    out1 = str(tmp_path / "run1")
+    m = export_training_shards(ds, out1, shard_tokens=50_000, seed=1)
+    assert m["total_tokens"] == 300_000
+    assert m["n_shards"] == 6
+    files = glob.glob(f"{out1}/shard=*/**/*.parquet", recursive=True)
+    back = pq.read_table(files[0])
+    assert {"doc_id", "text"} <= set(back.column_names)
+    full = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert sorted(full["doc_id"]) == list(range(3000))
+    # per-shard token mass within 3x CLT tolerance of the 50k target
+    per_shard = {}
+    for f in files:
+        sh = f.split("shard=")[1].split("/")[0]
+        t = pq.read_table(f).to_pandas()
+        per_shard[sh] = per_shard.get(sh, 0) + int(
+            t["text"].str.split().str.len().sum())
+    assert len(per_shard) == 6
+    for mass in per_shard.values():
+        assert abs(mass - 50_000) < 15_000
+
+    out2 = str(tmp_path / "run2")
+    export_training_shards(ray.data.from_items(rows).repartition(11),
+                           out2, shard_tokens=50_000, seed=1)
+    for sh in per_shard:
+        a = sorted(pd.concat([pq.read_table(f).to_pandas() for f in
+                              glob.glob(f"{out1}/shard={sh}/**/*.parquet",
+                                        recursive=True)])["doc_id"])
+        b = sorted(pd.concat([pq.read_table(f).to_pandas() for f in
+                              glob.glob(f"{out2}/shard={sh}/**/*.parquet",
+                                        recursive=True)])["doc_id"])
+        assert a == b  # membership invariant to block layout / rerun
