@@ -128,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="paragraphs shorter than this always survive")
     pdp.add_argument("--num-cpus", type=int, default=None)
 
+    ex = sub.add_parser("exportshards")
+    ex.add_argument("--input", required=True, help="parquet with id+text")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--shard-tokens", type=int, default=1_000_000)
+    ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--num-cpus", type=int, default=None)
+
     pii = sub.add_parser("redactpii")
     pii.add_argument("--input", required=True,
                      help="parquet with a text column")
@@ -222,6 +231,28 @@ def main(argv: list[str] | None = None) -> int:
                 ).write_parquet(os.path.join(args.output, "embeddings"))
             stats = quality_counters(scored)  # ungrouped aggregate → dict
             print(json.dumps({k: int(v) for k, v in stats.items()}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "exportshards":
+        # token-balanced training-shard export: shard=<k>/ directories of
+        # ~shard-tokens mass each, deterministic membership (id, seed)
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.analysis import (
+                export_training_shards,
+            )
+
+            m = export_training_shards(
+                rd.read_parquet(args.input,
+                                columns=[args.id_col, args.text_col]),
+                args.output, id_col=args.id_col, text_col=args.text_col,
+                shard_tokens=args.shard_tokens, seed=args.seed)
+            print(json.dumps(m))
             return 0
         finally:
             if owned:
