@@ -980,6 +980,22 @@ def _q_doc_jaccard_dedup(sf_dir: str):
     )
 
 
+def _q_doc_containment_dedup(sf_dir: str):
+    """Asymmetric containment dedup (doc-B-embeds-doc-A): drop the CONTAINED
+    side of any pair whose coverage inter/|contained| ≥ 0.5 (synthetic
+    corpus tops out at 0.73 — 0.5 catches its real template extensions);
+    mutual containment keeps the smaller id. Same shingle/df-cap plan as
+    jaccard, restated verbatim in SQL."""
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        ngram_containment_dedup,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out, _ = ngram_containment_dedup(ds, id_col="doc_id", k=5, threshold=0.5)
+    return (out.select_columns(["doc_id"]).to_pandas()
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_duplicate_components(sf_dir: str):
     """Duplicate-CLUSTER mapping: exact-Jaccard qualifying pairs (same
     k=5 / 0.35 / max_df=128 notion as doc_jaccard_dedup) → distributed
@@ -1695,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": _q_doc_scrub,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
+        "doc_containment_dedup": _q_doc_containment_dedup,
         "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_quality_clustered": _q_doc_quality_clustered,
@@ -2392,6 +2409,42 @@ def oracle_sql() -> dict[str, str]:
                 JOIN cnt ca ON ca.doc_id = pair.ia
                 JOIN cnt cb ON cb.doc_id = pair.ib
                 WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.35
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+            ORDER BY doc_id
+        """,
+        # containment dedup: same shingle/df-cap plan, asymmetric coverage —
+        # the CONTAINED side drops (inter/|contained| >= 0.5); mutual
+        # containment drops ib (keep smaller id), mirroring dup_ids_of
+        "doc_containment_dedup": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM documents)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 128),
+            pair AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE a.g IN (SELECT g FROM rare)
+                GROUP BY ia, ib
+            ),
+            scored AS (
+                SELECT pair.ia, pair.ib,
+                       CAST(inter AS DOUBLE) / ca.n AS cov_a,
+                       CAST(inter AS DOUBLE) / cb.n AS cov_b
+                FROM pair
+                JOIN cnt ca ON ca.doc_id = pair.ia
+                JOIN cnt cb ON cb.doc_id = pair.ib),
+            dups AS (
+                SELECT DISTINCT ib AS doc_id FROM scored WHERE cov_b >= 0.5
+                UNION
+                SELECT DISTINCT ia FROM scored
+                WHERE cov_a >= 0.5 AND cov_b < 0.5
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dups)

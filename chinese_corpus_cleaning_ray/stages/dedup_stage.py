@@ -894,6 +894,52 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str = "text", k: int = 5,
                        broadcast_limit=broadcast_limit)
 
 
+def ngram_containment_dedup(ds, id_col: str, text_col: str = "text",
+                            k: int = 5, threshold: float = 0.9,
+                            shards: int | None = None,
+                            max_df: int | None = 128,
+                            strategy: str = "auto",
+                            broadcast_limit: int = 2_000_000,
+                            target_docs_per_shard: int = 4096):
+    """EXACT n-gram CONTAINMENT dedup — the asymmetric complement of
+    :func:`ngram_jaccard_dedup`: a pair qualifies when one doc's distinct
+    k-gram set is ≥ ``threshold`` covered by the other's
+    (``inter/|contained|``), and the CONTAINED doc drops. Catches
+    "document B is document A plus a header/footer" — which symmetric
+    Jaccard misses (a short doc embedded in a long one has tiny
+    ``inter/union`` but containment ≈ 1) — the standard quote/aggregator
+    case in web corpora.
+
+    Keeper semantics: the contained side drops regardless of id order;
+    mutual containment (near-identical sets) keeps the SMALLER id, the
+    family convention. Pairwise like jaccard (not transitive — compose with
+    ``connected_components`` for cluster-correct closure). Shares the whole
+    ``_jaccard_pair_partials`` plan (shingle-shard self-merge, df cap with
+    the same conservative only-shrinks property, pair-shard reduce) and the
+    ``anti_filter`` ending; SQL-expressible, so the driver oracle is
+    bit-exact."""
+    if shards is None:
+        shards = _pow2_shards(ds.count(), target_docs_per_shard)
+
+    def dup_ids_of(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["ia", "ib", "na", "nb"],
+                            sort=False)["inter"].sum().reset_index()
+        ca = agg["inter"] / agg["na"]   # how covered the SMALLER-id doc is
+        cb = agg["inter"] / agg["nb"]
+        drop_b = cb >= threshold                      # b contained (or mutual)
+        drop_a = (ca >= threshold) & ~drop_b          # only a contained
+        ids = pd.concat([agg.loc[drop_b, "ib"], agg.loc[drop_a, "ia"]])
+        return pd.DataFrame({id_col: pd.unique(ids.to_numpy())})
+
+    dup_ids_ds = (
+        _jaccard_pair_partials(ds, id_col, text_col, k, shards, max_df)
+        .groupby("pshard")
+        .map_groups(dup_ids_of, batch_format="pandas")
+    )
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)
+
+
 def ngram_jaccard_edges(ds, id_col: str, text_col: str = "text", k: int = 5,
                         threshold: float = 0.8, shards: int | None = None,
                         max_df: int | None = 128,

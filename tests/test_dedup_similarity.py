@@ -142,3 +142,35 @@ def test_knn_ivf_recalls_planted_neighbors(emb_ds):
     got = set(out["vec_id"])
     # planted same-direction vectors land in the same / adjacent LSH buckets
     assert 0 in got and 7 in got
+
+
+def test_containment_dedup_asymmetric_semantics(ray_session):
+    """B = A + a long unique tail: containment(A in B) ~ 1 while Jaccard is
+    small — the CONTAINED side drops regardless of id order; mutual
+    containment keeps the smaller id; unrelated docs survive."""
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        ngram_containment_dedup,
+        ngram_jaccard_dedup,
+    )
+
+    core = "这是一段完全一样的核心正文内容，足够长以产生很多五元组。"
+    tail = "后面接上的是另一大段完全不相关的扩展材料" * 8
+    rows = [
+        {"doc_id": 0, "text": core + tail},        # the big doc (earlier id)
+        {"doc_id": 1, "text": core},               # contained in doc 0 -> drops
+        {"doc_id": 2, "text": "毫无关系的第三篇文档内容不同且独立成篇。" * 3},
+        {"doc_id": 3, "text": core},               # mutual with doc 1... but 1 drops;
+                                                   # pairwise: 3 vs 1 mutual -> 3 drops
+    ]
+    ds = ray.data.from_items(rows)
+    kept, dups = ngram_containment_dedup(ds, id_col="doc_id", k=5,
+                                         threshold=0.9, max_df=None)
+    kept_ids = sorted(kept.to_pandas()["doc_id"])
+    assert kept_ids == [0, 2]  # 1 contained in 0; 3 mutual with 1 (drop larger)
+
+    # symmetric jaccard at the same bar misses the embedded doc
+    jkept, _ = ngram_jaccard_dedup(ds, id_col="doc_id", k=5,
+                                   threshold=0.9, max_df=None)
+    assert 1 in set(jkept.to_pandas()["doc_id"])
