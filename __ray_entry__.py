@@ -1585,6 +1585,20 @@ def _q_doc_quantile_filter(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_quantile_filter_by_source(sf_dir: str):
+    """Per-SOURCE adaptive gate: each source keeps rows within its own
+    exact [p10, p90] of n_chars — the thresholds differ per source, so
+    this discriminates where a global cutoff wouldn't."""
+    from chinese_corpus_cleaning_ray.stages.analysis import quantile_filter_by_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = quantile_filter_by_key(ds, "source", "n_chars", 0.1, 0.9).to_pandas()
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "source", "n_chars"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: the oracle pins the full OUTPUT ORDER,
     not just membership — rank is assigned from the distributed sort's
@@ -1740,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_pii_redact": _q_transcripts_pii_redact,
         "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -1949,6 +1964,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, qs
             WHERE n_chars BETWEEN lo AND hi
             ORDER BY doc_id
+        """,
+        # per-key adaptive gate: quantile_disc PARTITIONed per source
+        "doc_quantile_filter_by_source": """
+            WITH qs AS (
+                SELECT source,
+                       quantile_disc(n_chars, 0.1) AS lo,
+                       quantile_disc(n_chars, 0.9) AS hi
+                FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN qs ON d.source = qs.source
+            WHERE d.n_chars BETWEEN qs.lo AND qs.hi
+            ORDER BY d.doc_id
         """,
         # deterministic epoch shuffle: two LCG rounds on (doc_id + seed),
         # rank = ROW_NUMBER over (key, id) pins the distributed sort's full

@@ -898,3 +898,40 @@ def export_training_shards(ds, out_dir: str, id_col: str = "doc_id",
         out_dir, partition_cols=["shard"])
     return {"n_shards": int(n_shards), "total_tokens": total_tokens,
             "rows": int(rows), "out_dir": out_dir}
+
+
+def quantile_filter_by_key(ds, key_col: str, col: str,
+                           lo_q: float = 0.05, hi_q: float = 0.95,
+                           shards: int = 64):
+    """Per-key adaptive outlier gate: keep a row iff ``col`` lies within
+    ITS OWN key's exact [lo_q, hi_q] order statistics — per-source length
+    gating where every source gets thresholds learned from its own
+    distribution (a web-crawl source and a books source should not share
+    one cutoff).
+
+    Two passes: :func:`exact_quantiles_by_key` (fully distributed, one row
+    per distinct (key, value) moves) produces the per-key threshold table,
+    which is small by construction (2 rows per key) and ships ONCE via
+    ``ray.put`` as a dict — then a stateless vectorized filter, no join.
+    Pass a re-readable source or ``materialize()`` a derived input."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    qdf = exact_quantiles_by_key(ds, key_col, col, [lo_q, hi_q],
+                                 shards=shards).to_pandas()
+    lo_map = dict(zip(qdf.loc[qdf["q"] == lo_q, key_col],
+                      qdf.loc[qdf["q"] == lo_q, "value"]))
+    hi_map = dict(zip(qdf.loc[qdf["q"] == hi_q, key_col],
+                      qdf.loc[qdf["q"] == hi_q, "value"]))
+    maps_ref = ray.put((lo_map, hi_map))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(maps_ref)
+        keys = pd.Series(batch.column(key_col).to_pandas())
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = keys.map(lo_m).to_numpy(dtype=np.float64)
+        hi = keys.map(hi_m).to_numpy(dtype=np.float64)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

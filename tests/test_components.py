@@ -391,3 +391,40 @@ def test_quantile_filter_bounds_and_degenerate(ray_session):
         {"doc_id": range(20), "v": [7] * 20}))
     kept = quantile_filter(same, "v").to_pandas()
     assert len(kept) == 20  # inclusive bounds: all-equal column survives
+
+
+def test_quantile_filter_by_key_per_source_thresholds(ray_session):
+    """Each key gets ITS OWN window: a value that survives under one key is
+    cut under another whose distribution sits elsewhere."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import quantile_filter_by_key
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000),
+        "src": np.where(np.arange(2000) % 2 == 0, "short", "long"),
+        "v": np.where(np.arange(2000) % 2 == 0,
+                      rng.integers(10, 50, 2000),
+                      rng.integers(1000, 5000, 2000)).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (quantile_filter_by_key(ds, "src", "v", 0.1, 0.9).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.query_df(df, "t", """
+        WITH qs AS (SELECT src, quantile_disc(v, 0.1) lo, quantile_disc(v, 0.9) hi
+                    FROM t GROUP BY src)
+        SELECT t.doc_id FROM t JOIN qs USING (src)
+        WHERE v BETWEEN lo AND hi ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].astype(int).tolist()
+    # a 40-char doc survives in "short" but a 40-char doc planted in "long"
+    # would be cut by long's own window
+    ds2 = ray.data.from_pandas(pd.concat(
+        [df, pd.DataFrame({"doc_id": [9999], "src": ["long"], "v": [40]})],
+        ignore_index=True))
+    got2 = quantile_filter_by_key(ds2, "src", "v", 0.1, 0.9).to_pandas()
+    assert 9999 not in set(got2["doc_id"])
