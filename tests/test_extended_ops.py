@@ -179,3 +179,42 @@ def test_cli_crawl_and_compact(ray_session, tmp_path):
     rc = main(["mergewords", "--lists", *lists, "--out", str(tmp_path / "m.txt")])
     assert rc == 0
     assert (tmp_path / "m.txt").read_text(encoding="utf-8").split() == ["共词", "词0", "词1"]
+
+
+def test_cli_redactpii_and_exportshards(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(50)),
+        "text": [f"doc {i} mail user{i}@x.cc " + "tok " * 20
+                 for i in range(50)],
+    }), src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "redactpii",
+         "--input", src, "--output", str(tmp_path / "red"),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rows"] == 50 and stats["email_count"] == 50
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "exportshards",
+         "--input", src, "--output", str(tmp_path / "sh"),
+         "--shard-tokens", "300", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 50 and m["n_shards"] >= 3
+    import glob
+    files = glob.glob(str(tmp_path / "sh" / "shard=*/**/*.parquet"),
+                      recursive=True)
+    assert files
