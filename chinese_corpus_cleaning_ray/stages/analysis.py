@@ -935,3 +935,25 @@ def quantile_filter_by_key(ds, key_col: str, col: str,
         return batch.filter(pa.array((v >= lo) & (v <= hi)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def add_nonneg_id(ds, from_col: str, id_col: str = "row_id"):
+    """Derive the NON-NEGATIVE int64 id the LCG family (sample / shuffle /
+    split / quotas / shard export) requires, from any column — the
+    documented upstream step for string-keyed corpora (url, conv_id, ...).
+
+    ``id = hash64(value) >> 1`` — deterministic (pandas hash_pandas_object
+    with its fixed default key), dtype-agnostic, uniform, and always ≥ 0
+    (top bit dropped, keeping 63 bits: collision odds over even 10^10 rows
+    stay below 1%, and the LCG consumers only need uniformity, not
+    uniqueness). Stateless vectorized stage, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(from_col).to_pandas())
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        ids = (h >> np.uint64(1)).astype(np.int64)
+        return batch.append_column(id_col, pa.array(ids))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -148,3 +148,31 @@ def test_export_training_shards(tmp_path):
                               glob.glob(f"{out2}/shard={sh}/**/*.parquet",
                                         recursive=True)])["doc_id"])
         assert a == b  # membership invariant to block layout / rerun
+
+
+def test_add_nonneg_id_feeds_lcg_ops():
+    """String-keyed corpora enter the LCG family via add_nonneg_id: ids are
+    non-negative, deterministic across runs/layouts, and distinct values
+    disperse."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_corpus_cleaning_ray.stages.analysis import (
+        add_nonneg_id,
+        train_val_split,
+    )
+
+    rows = [{"url": f"https://site{i % 7}.example/page/{i}"}
+            for i in range(5000)]
+    a = add_nonneg_id(ray.data.from_items(rows), "url").to_pandas()
+    b = add_nonneg_id(ray.data.from_items(rows).repartition(9),
+                      "url").to_pandas()
+    assert (a["row_id"] >= 0).all()
+    assert sorted(a["row_id"]) == sorted(b["row_id"])  # layout-invariant
+    assert a["row_id"].nunique() == 5000               # no collisions here
+
+    out = train_val_split(
+        add_nonneg_id(ray.data.from_items(rows), "url"),
+        id_col="row_id", val_pct=10, seed=3).to_pandas()
+    frac = (out["split"] == "val").mean()
+    assert 0.07 < frac < 0.13
