@@ -105,7 +105,7 @@ def sample_by_hash(ds, id_col: str, pct: int = 10,
     the same cut). Stateless vectorized filter; embarrassingly parallel; no
     shuffle. Ids must be NON-NEGATIVE integers (numpy's % is floored, SQL's
     is truncated — they agree only for non-negative dividends); hash string
-    ids to non-negative int64 upstream first."""
+    ids to non-negative int64 upstream first (``add_nonneg_id``)."""
     import numpy as np
     import pyarrow.compute as pc  # noqa: F401
 
