@@ -1585,6 +1585,44 @@ def _q_doc_quantile_filter(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_url_parts(sf_dir: str):
+    """URL structure extraction: host / naive registrable domain / path via
+    one RE2 pass — same engine as DuckDB's regexp_extract, so byte-exact.
+    URLs are derived deterministically (four classes incl. a port, a
+    non-http scheme, and an empty string — the last two must yield empty
+    parts, not errors)."""
+    from chinese_corpus_cleaning_ray.functions.urls import add_url_parts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        sid = pc.cast(ids, pa.string())
+        m = pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 4), 4)),
+                    pa.int64())
+        site = pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)),
+                       pa.string())
+        plain = pc.binary_join_element_wise(
+            pa.array(["https://site"] * len(ids)), site,
+            ".example.org/page/", sid, "")
+        ported = pc.binary_join_element_wise(
+            pa.array(["http://cdn"] * len(ids)), site,
+            ".assets.example.net:8080/obj/", sid, "?v=1", "")
+        ftp = pc.binary_join_element_wise(
+            pa.array(["ftp://files.example.com/f/"] * len(ids)), sid, "")
+        empty = pa.array([""] * len(ids), pa.string())
+        url = pc.if_else(pc.equal(m, 0), plain,
+              pc.if_else(pc.equal(m, 1), ported,
+              pc.if_else(pc.equal(m, 2), ftp, empty)))
+        return pa.table({"doc_id": ids, "url": url})
+
+    out = add_url_parts(ds.map_batches(derive, batch_format="pyarrow"),
+                        "url")
+    out = out.select_columns(["doc_id", "url_host", "url_domain", "url_path"])
+    return (out.to_pandas()
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_quantile_filter_by_source(sf_dir: str):
     """Per-SOURCE adaptive gate: each source keeps rows within its own
     exact [p10, p90] of n_chars — the thresholds differ per source, so
@@ -1755,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
+        "doc_url_parts": _q_doc_url_parts,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -1964,6 +2003,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, qs
             WHERE n_chars BETWEEN lo AND hi
             ORDER BY doc_id
+        """,
+        # URL parts: the same RE2 pattern/groups as functions/urls.py,
+        # group indexes 2 (host) and 4 (path); non-matches yield ''
+        "doc_url_parts": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                         WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                         WHEN 1 THEN 'http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.assets.example.net:8080/obj/' || CAST(doc_id AS VARCHAR) || '?v=1'
+                         WHEN 2 THEN 'ftp://files.example.com/f/' || CAST(doc_id AS VARCHAR)
+                         ELSE ''
+                       END AS url
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\\d+))?([^?#]*)', 2) AS url_host,
+                       regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\\d+))?([^?#]*)', 4) AS url_path
+                FROM u)
+            SELECT doc_id, url_host,
+                   regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1) AS url_domain,
+                   url_path
+            FROM p ORDER BY doc_id
         """,
         # per-key adaptive gate: quantile_disc PARTITIONed per source
         "doc_quantile_filter_by_source": """

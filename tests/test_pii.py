@@ -138,3 +138,20 @@ def test_quality_pipeline_pii_toggle():
 
     off = build_quality_pipeline(ds, DEFAULT_CONFIG).to_pandas()
     assert "redacted_text" not in off.columns
+
+
+def test_url_parts_kernel():
+    import pyarrow as pa
+
+    from chinese_corpus_cleaning_ray.functions.urls import url_parts_batch
+
+    out = url_parts_batch(pa.array([
+        "https://www.example.co.uk:8080/a/b?q=1#f",
+        "http://sub.site.example/page/33",
+        "not a url", "", None, "https://single/",
+    ], pa.string()))
+    assert out["host"].to_pylist() == [
+        "www.example.co.uk", "sub.site.example", "", "", "", "single"]
+    assert out["domain"].to_pylist() == [
+        "co.uk", "site.example", "", "", "", ""]
+    assert out["path"].to_pylist() == ["/a/b", "/page/33", "", "", "", "/"]
