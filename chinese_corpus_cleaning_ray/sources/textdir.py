@@ -72,17 +72,29 @@ def write_text_dir(ds, out_dir: str, text_col: str = "text",
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
+        import uuid
+
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         n = 0
         overwrote = 0
+        # tmp names must be unique PER WRITER: duplicate ids land in
+        # different parallel tasks, and a shared tmp path races — one task's
+        # os.replace yanks the tmp from under the other's (observed as an
+        # intermittent FileNotFoundError under the full suite's load)
+        wtag = f"{os.getpid()}.{uuid.uuid4().hex[:8]}"
         for i, t in zip(ids, texts):
             name = _safe_filename(i)
-            tmp = os.path.join(out_dir, f".{name}{suffix}.tmp")
+            tmp = os.path.join(out_dir, f".{name}{suffix}.{wtag}.tmp")
             final = os.path.join(out_dir, f"{name}{suffix}")
             with open(tmp, "w", encoding=encoding) as f:
                 f.write(t if t is not None else "")
-            if os.path.exists(final):
+            # atomic first-creation probe: exactly ONE concurrent writer of
+            # a given id sees the create succeed, so the overwrite counter
+            # cannot double-count (a plain exists() check races to 0)
+            try:
+                os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
                 overwrote += 1
             os.replace(tmp, final)
             n += 1
