@@ -732,6 +732,10 @@ def dedup_against_corpus(ds, seen_ds, id_col: str, text_col: str = "text",
         import ray
 
         seen_hashes = seen_hashes.materialize()  # consumed twice below
+        # the fresh side is also consumed twice (candidate + certain-new
+        # filters) — materialize so the scan+hash runs once, not per filter;
+        # bounded by the daily batch, and blocks spill rather than re-read
+        hashed = hashed.materialize()
         bloom = build_bloom(seen_hashes, bits_per_key=bloom_bits_per_key)
         bloom_ref = ray.put(bloom)
 
