@@ -873,6 +873,11 @@ def export_training_shards(ds, out_dir: str, id_col: str = "doc_id",
     ~1/sqrt(docs per shard)); exact per-shard budgets are what
     ``token_budget_sample`` is for. Ids must be non-negative integers.
 
+    ``ds`` is consumed three times (token sum, metadata count, write) —
+    pass a re-readable source (a parquet read, where the count is
+    metadata-only) or ``materialize()`` a derived input first, as with
+    quantile_filter and the join operators.
+
     Returns ``{"n_shards", "total_tokens", "rows", "out_dir"}``."""
     import numpy as np
     import pyarrow.compute as pc
