@@ -51,6 +51,20 @@ def text_hash64(text: str) -> int:
     return struct.unpack("<q", h)[0]
 
 
+def text_hash64_column(col) -> np.ndarray:
+    """Vectorized 64-bit content hash over an Arrow (chunked) string array —
+    pandas' C siphash kernel, no per-row Python. Deterministic across
+    processes (fixed default hash key), equal texts ⇒ equal hashes; a
+    DIFFERENT family from :func:`text_hash64`, so consumers must hash both
+    sides of any comparison with the same function (every dedup stage does —
+    they all go through ``add_text_hash``). Returns int64."""
+    import pandas as pd
+
+    s = col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
+    h = pd.util.hash_pandas_object(pd.Series(s), index=False).to_numpy()
+    return h.view(np.int64)
+
+
 def _codepoints(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
 

@@ -89,14 +89,26 @@ def write_text_dir(ds, out_dir: str, text_col: str = "text",
             final = os.path.join(out_dir, f"{name}{suffix}")
             with open(tmp, "w", encoding=encoding) as f:
                 f.write(t if t is not None else "")
-            # atomic first-creation probe: exactly ONE concurrent writer of
-            # a given id sees the create succeed, so the overwrite counter
-            # cannot double-count (a plain exists() check races to 0)
+            # atomic first-publication probe: os.link publishes the COMPLETE
+            # tmp content iff `final` is absent, so a reader never observes
+            # an empty destination (an O_CREAT|O_EXCL probe would create one
+            # before the replace); exactly ONE concurrent writer of a given
+            # id sees the link succeed, so the overwrite counter cannot
+            # double-count (a plain exists() check races to 0)
             try:
-                os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                os.link(tmp, final)
             except FileExistsError:
                 overwrote += 1
-            os.replace(tmp, final)
+                os.replace(tmp, final)
+            except OSError:
+                # hardlinks unsupported on this filesystem — plain replace
+                # keeps publication atomic; the overwrite count degrades to
+                # a best-effort exists() probe
+                if os.path.exists(final):
+                    overwrote += 1
+                os.replace(tmp, final)
+            else:
+                os.unlink(tmp)
             n += 1
         return pa.table({"files_written": pa.array([n], pa.int64()),
                          "files_overwritten": pa.array([overwrote], pa.int64())})

@@ -854,15 +854,30 @@ def keyword_extract(ds, text_col: str = "text", id_col: str = "doc_id",
             .groupby("__dshard").map_groups(rank_group, batch_format="pandas"))
 
 
+#: Default token proxy for shard sizing: each CJK character (Han / kana /
+#: Hangul — scripts written without spaces) counts as one token, everything
+#: else as whitespace-delimited runs. A plain ``\S+`` proxy counts an entire
+#: unsegmented Chinese document as ~1 token and undersizes every shard.
+CJK_TOKEN_PATTERN = (r"\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul}"
+                     r"|[^\s\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]+")
+
+
 def export_training_shards(ds, out_dir: str, id_col: str = "doc_id",
                            text_col: str = "text",
                            shard_tokens: int = 1_000_000, seed: int = 0,
                            mult: int = 1103515245, inc: int = 12345,
-                           mod: int = 2147483648):
+                           mod: int = 2147483648,
+                           token_pattern: str = CJK_TOKEN_PATTERN):
     """Training-data export: write the corpus as ``shard=<k>/`` parquet
-    directories of ≈ ``shard_tokens`` whitespace-token mass each — the
+    directories of ≈ ``shard_tokens`` token mass each — the
     unit downstream training jobs consume and resume over (a failed reader
     re-pulls one shard directory, never one giant file).
+
+    Token mass is ``token_pattern`` match count per doc (RE2, vectorized).
+    The default counts each CJK character as one token plus whitespace
+    runs for spaced scripts, so unsegmented Chinese corpora — this
+    engine's target — size correctly; pass ``r"\\S+"`` for the classic
+    whitespace-token proxy.
 
     Shard membership is the two-round LCG of ``(id, seed)`` mod n_shards —
     deterministic (rerunning the export reproduces byte-identical shard
@@ -883,8 +898,8 @@ def export_training_shards(ds, out_dir: str, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        # ASCII-whitespace token runs (RE2 \S+), vectorized
-        n = pc.count_substring_regex(batch.column(text_col), pattern=r"\S+")
+        n = pc.count_substring_regex(batch.column(text_col),
+                                     pattern=token_pattern)
         return pa.table({"toks": pc.cast(n, pa.int64())})
 
     tok_ds = ds.map_batches(count_tokens, batch_format="pyarrow")

@@ -40,7 +40,7 @@ from chinese_corpus_cleaning_ray.functions.dedup import (
     char_shingles,
     jaccard,
     simhash64,
-    text_hash64,
+    text_hash64_column,
 )
 
 
@@ -207,16 +207,27 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
 
 def make_row_key(batch: pa.Table) -> pa.Table:
     """Composite sortable key ``conv_id#turn_idx(zero-padded)`` for transcript
-    tables — lexicographic order == (conv_id, turn_idx) order."""
+    tables — lexicographic order == (conv_id, turn_idx) order. Vectorized
+    (Arrow cast + lpad + join); the rare negative turn_idx falls back to the
+    Python formatter so the historical ``{t:010d}`` bytes are preserved."""
+    turn = batch.column("turn_idx")
+    tmin = pc.min(turn).as_py() if batch.num_rows else 0
+    if tmin is not None and tmin >= 0:
+        padded = pc.utf8_lpad(pc.cast(turn, pa.string()), 10, padding="0")
+        keys = pc.binary_join_element_wise(
+            pc.cast(batch.column("conv_id"), pa.string()), padded, "#")
+        return batch.append_column("row_key", keys)
     conv = batch.column("conv_id").to_pylist()
-    turn = batch.column("turn_idx").to_pylist()
-    keys = [f"{c}#{t:010d}" for c, t in zip(conv, turn)]
+    keys = [f"{c}#{t:010d}" for c, t in zip(conv, turn.to_pylist())]
     return batch.append_column("row_key", pa.array(keys, pa.string()))
 
 
 def add_text_hash(ds, text_col: str = "text"):
+    """Append a vectorized 64-bit content hash column (`text_hash`). One
+    hash family for every dedup stage — both sides of any hash comparison
+    (incremental dedup, Bloom build/probe) come through here."""
     def fn(batch: pa.Table) -> pa.Table:
-        hashes = [text_hash64(t) for t in batch.column(text_col).to_pylist()]
+        hashes = text_hash64_column(batch.column(text_col))
         return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")

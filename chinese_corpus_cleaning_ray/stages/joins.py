@@ -262,6 +262,20 @@ def asof_join(left, right, on: str, by: str, how: str = "left",
             on, kind="mergesort").reset_index(drop=True)
         l_ok = lf[lf[on].notna()].sort_values(
             on, kind="mergesort").reset_index(drop=True)
+        # merge_asof demands IDENTICAL key dtypes on both sides, but the
+        # Arrow→pandas hop widens a nullable int64 `on`/`by` to float64 only
+        # on the side that holds nulls (MergeError otherwise) — promote both
+        # frames to the numpy common dtype before merging; the final cast
+        # back to `out_sch` restores the declared Arrow types.
+        for kcol in (on, by):
+            lt, rt = l_ok[kcol].dtype, rf[kcol].dtype
+            if lt != rt:
+                try:
+                    common = np.result_type(lt, rt)
+                except TypeError:
+                    common = np.dtype(object)
+                l_ok[kcol] = l_ok[kcol].astype(common)
+                rf[kcol] = rf[kcol].astype(common)
         merged = pd.merge_asof(l_ok, rf, on=on, by=by, suffixes=("", "__rr"),
                                direction=direction, tolerance=tolerance)
         if on + "__rr" in merged.columns:  # pandas keeps one `on`; guard
