@@ -6,10 +6,14 @@ calls ray.init/ray.shutdown.
 Query naming: every aggregate/computed column is named identically in the Ray
 implementation and the DuckDB oracle SQL. Float columns are either exact
 (integer-valued sums, single divisions of identical integers — bit-identical
-across engines) or omitted from oracled queries; approximate/stateful ops
-(MinHash dedup, full quality decision, scrub, IVF) have no oracle entry and
-get the driver's rows-only check — their strong gates live in tests/ (exact
-keep-label parity and byte-exact scrub vs the oracle restatement).
+across engines) or omitted from oracled queries; the remaining no-oracle ops
+(unverified-MinHash keep sets, SimHash/embedding similarity notions, the
+k-means IVF quantizer) get the driver's rows-only check — their strong gates
+live in tests/ and BENCH quantification. The LSH-IVF search path IS oracled
+(literal seeded hyperplanes in SQL: knn_ivf, knn_recall), as is the composed
+verified-MinHash + connected-components dedup (transcripts_clean_pipeline,
+prefix-filtering closure oracle). queries() ordering is load-bearing — see
+its docstring.
 """
 
 from __future__ import annotations
@@ -674,6 +678,9 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_knn_ivf_kmeans(sf_dir: str):
+    """No oracle: the k-means coarse quantizer (Lloyd iterations over a hash
+    sample of the data) is not SQL-restatable; recall is quantified in BENCH
+    and the LSH-IVF twin (`knn_ivf` / `knn_recall`) is fully oracled."""
     from chinese_corpus_cleaning_ray.stages.similarity import knn_ivf_kmeans
 
     q = _query_vectors(sf_dir, 3)
@@ -682,6 +689,80 @@ def _q_knn_ivf_kmeans(sf_dir: str):
     df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True],
                         kind="mergesort").reset_index(drop=True)
     return df[["query_id", "vec_id"]].astype("int64")
+
+
+_KNN_NBITS, _KNN_DIM, _KNN_K = 4, 64, 10
+
+
+def _lsh_bucket_expr() -> str:
+    """SQL expression computing the LSH bucket of a DOUBLE[] column ``emb``:
+    the same seeded random-hyperplane matrix the engine uses
+    (similarity.lsh_planes(64, 4, 42)) inlined as literals — the sign of each
+    dot product is normalization-invariant, so the oracle skips the
+    normalize step the engine applies. Embedding dim is pinned to 64 (the
+    testdata embeddings table's fixed width)."""
+    from chinese_corpus_cleaning_ray.stages.similarity import lsh_planes
+
+    planes = lsh_planes(_KNN_DIM, _KNN_NBITS, 42)
+    terms = []
+    for i in range(_KNN_NBITS):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _knn_bucket_ctes() -> str:
+    """Shared CTE chain (b → q → wanted) of the LSH-IVF restatement: bucket
+    every vector with the literal-plane expression, pull the 3 query rows,
+    and expand each query bucket by Hamming distance 1 (the engine's
+    ``expand=1``)."""
+    return f"""b AS (
+                SELECT vec_id, emb, {_lsh_bucket_expr()} AS bucket
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings)
+            ), q AS (
+                SELECT vec_id AS qid, emb AS qe, bucket AS qb FROM b
+                WHERE vec_id < 3
+            ), wanted AS (
+                SELECT DISTINCT w FROM (
+                    SELECT qb AS w FROM q
+                    UNION ALL
+                    SELECT xor(qb, (1 << CAST(g.i AS INTEGER))) AS w
+                    FROM q CROSS JOIN generate_series(0, {_KNN_NBITS - 1}) g(i)) u
+            )"""
+
+
+def _q_knn_recall(sf_dir: str):
+    """ANN quality quantification AS a driver query: recall@k of each method
+    vs the exact brute-force top-k, per query vector. brute is 1.0 by
+    construction (the anchor row); lsh_ivf's recall is the real measurement.
+    Deterministic end to end (seeded hyperplanes, fixed corpus), so the
+    oracle recomputes BOTH methods and the exact recall — converting what
+    was a no-oracle approximate op into a bit-exact driver row."""
+    from chinese_corpus_cleaning_ray.stages.similarity import knn_brute, knn_ivf
+
+    q = _query_vectors(sf_dir, 3)
+    brute = knn_brute(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q, k=_KNN_K).to_pandas()
+    ivf = knn_ivf(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q, k=_KNN_K, nbits=_KNN_NBITS, expand=1).to_pandas()
+    truth = {int(qid): set(g["vec_id"]) for qid, g in brute.groupby("query_id")}
+    rows = []
+    for method, df in (("brute", brute), ("lsh_ivf", ivf)):
+        got = {int(qid): set(g["vec_id"]) for qid, g in df.groupby("query_id")}
+        for qid in range(len(q)):
+            hits = len(got.get(qid, set()) & truth.get(qid, set()))
+            rows.append({"method": method, "query_id": qid,
+                         "n_hits": hits, "recall": hits / _KNN_K})
+    out = pd.DataFrame(rows)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return (out.sort_values(["method", "query_id"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 def _q_transcripts_turn_dedup(sf_dir: str):
@@ -836,6 +917,139 @@ def _q_transcripts_minhash_dedup(sf_dir: str):
     out = deduped.select_columns(["conv_id", "turn_idx"]).to_pandas()
     out["turn_idx"] = out["turn_idx"].astype("int64")
     return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+_ECHO_SUFFIX = " 谢谢您的帮助"
+_CLEAN_JACCARD_T = 0.6
+
+
+def _q_transcripts_clean_pipeline(sf_dir: str):
+    """The composed TRANSCRIPT cleaning recipe, end to end: boilerplate
+    paragraph dedup → verified-MinHash LSH candidate pairs → exact-Jaccard
+    verification → connected components → keep each near-dup cluster's
+    lexicographically-first (conv, turn). This is the cross-shape
+    composition VERDICT-r4 item 7 asked for: doc_clean_pipeline composes
+    exact dedup; this composes the SCALE-PATH verified-MinHash + components
+    chain on the transcripts shape.
+
+    Near-dup structure is injected deterministically on BOTH sides: every
+    turn with doc_id % 17 == 4 re-emits its text at turn_idx + 2000 with a
+    short CJK suffix (an agent re-sending an answer with a closing phrase —
+    a near-duplicate, never an exact one, so it survives paragraph dedup
+    and must be caught by the MinHash chain). Natural near-dup bodies in
+    the corpus are caught too.
+
+    Oracle equivalence: the SQL restates the closure over ALL pairs with
+    exact 5-gram Jaccard ≥ 0.6 via PREFIX FILTERING (rarest-grams-first
+    global order; prefix length n - ceil(t·n) + 1 — a provably complete
+    candidate set, no df cap). The engine's band recall is exact on this
+    corpus at t=0.6: the fixture's qualifying pairs all have J ≥ 0.78
+    (measured gap 0.55–0.78 at 3 SFs), where 16-band/4-row collision
+    probability is ≥ 1 - 6e-4 per pair; validated bit-equal at sf0.001/
+    sf0.01 vs DuckDB and at sf0.1 vs an independent exact-closure check."""
+    from chinese_corpus_cleaning_ray.stages.components import (
+        minhash_component_dedup,
+    )
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import paragraph_dedup
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject_rk_boiler(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        text = batch.column("text").to_pylist()
+        rk, out = [], []
+        for d, c, t, x in zip(ids, conv, turn, text):
+            rk.append(f"{c}#{t:06d}")
+            out.append(x)
+            if d % 17 == 4:
+                rk.append(f"{c}#{t + 2000:06d}")
+                out.append(x + _ECHO_SUFFIX)
+        wrapped = [f"{_BOILER_HEADER}\n{x}\n{_BOILER_FOOTER}" for x in out]
+        return pa.table({"doc_id": pa.array(rk, pa.string()),
+                         "text": pa.array(wrapped, pa.string())})
+
+    cleaned = paragraph_dedup(
+        ds.map_batches(inject_rk_boiler, batch_format="pyarrow"),
+        id_col="doc_id").materialize()
+    kept, _ = minhash_component_dedup(cleaned, id_col="doc_id",
+                                      verify_threshold=_CLEAN_JACCARD_T,
+                                      verify_k=5)
+    return (kept.to_pandas().sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _transcripts_clean_pipeline_sql() -> str:
+    """SQL restatement of _q_transcripts_clean_pipeline: derive → inject
+    echoes → paragraph dedup → ALL exact-Jaccard(5-gram) ≥ 0.6 pairs via
+    prefix filtering → recursive closure → keep component minima. CTEs are
+    MATERIALIZED: DuckDB otherwise inlines (re-evaluates) each multiply-
+    referenced CTE and the statement goes from ~10 s to minutes. Prefix
+    filtering (SSJoin/PPJoin): under a global gram order (df ASC, gram ASC),
+    any pair with |A∩B| ≥ ceil(t·max(|A|,|B|)) shares a gram within both
+    docs' first n - ceil(t·n) + 1 grams — a complete candidate set without
+    a df cap, so the dense-template pairs a rare-gram (max_df) plan misses
+    stay reachable."""
+    t = _CLEAN_JACCARD_T
+    return f"""
+            WITH RECURSIVE derived AS ({_DERIVE_SQL}),
+            injected AS MATERIALIZED (
+                SELECT conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')
+                           AS doc_id, text
+                FROM derived
+                UNION ALL
+                SELECT conv_id || '#' || lpad(CAST(turn_idx + 2000 AS VARCHAR), 6, '0'),
+                       text || '{_ECHO_SUFFIX}'
+                FROM derived WHERE doc_id % 17 = 4
+            ),
+            cleaned AS MATERIALIZED ({_paragraph_dedup_sql("injected")}),
+            sh AS MATERIALIZED (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, length(text) - 3)]) AS g
+                    FROM cleaned)
+            ),
+            cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            gdf AS MATERIALIZED (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+            prefix AS MATERIALIZED (
+                SELECT doc_id, g FROM (
+                    SELECT s.doc_id, s.g,
+                           row_number() OVER (PARTITION BY s.doc_id
+                               ORDER BY gdf.df, s.g) AS rn,
+                           cnt.n
+                    FROM sh s JOIN gdf USING (g) JOIN cnt USING (doc_id))
+                WHERE rn <= n - CAST(ceil({t} * n) AS BIGINT) + 1
+            ),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            edges AS MATERIALIZED (
+                SELECT ia, ib FROM (
+                    SELECT c.ia, c.ib, COUNT(*) AS icnt
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.ia
+                    JOIN sh sb ON sb.doc_id = c.ib AND sb.g = sa.g
+                    GROUP BY c.ia, c.ib) x
+                JOIN cnt ca ON ca.doc_id = x.ia
+                JOIN cnt cb ON cb.doc_id = x.ib
+                WHERE CAST(icnt AS DOUBLE) / (ca.n + cb.n - icnt) >= {t}
+            ),
+            und AS MATERIALIZED (
+                SELECT ia AS u, ib AS v FROM edges UNION SELECT ib, ia FROM edges),
+            reach(n, m) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT r.n, e.v FROM reach r JOIN und e ON e.u = r.m
+            ),
+            comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+            SELECT c.doc_id, c.text
+            FROM cleaned c LEFT JOIN comp ON comp.n = c.doc_id
+            WHERE COALESCE(comp.component, c.doc_id) = c.doc_id
+            ORDER BY c.doc_id
+        """
 
 
 def _q_conversation_stats(sf_dir: str):
@@ -1746,65 +1960,33 @@ def _q_emb_dbscan_clusters(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Entry order is LOAD-BEARING: the driver verifies the FIRST 50 entries
+    against oracle_sql(), so every oracled query must sit inside that window
+    (VERDICT-r4 item 1). Tiering:
+
+    - positions 1–16: oracled queries with no prior driver-green row
+      (the r4-unchecked asof/range joins, burst flags, sessionize, the
+      transcripts family, knn_brute) plus the three NEW oracled queries
+      (knn_ivf, knn_recall, transcripts_clean_pipeline) — first so they
+      survive even a smaller window;
+    - positions 17–50: oracled queries already driver-green in r04;
+    - positions 51–60: oracled VARIANTS of in-window queries (by-source /
+      keeper / bloom / sliding-window twins), all driver-green in r04 and
+      still pytest-oracled at 3 SFs — parked outside the window to make
+      room;
+    - positions 61–68: the no-oracle approximate/stateful queries
+      (rows-only check by design)."""
     return {
-        "agg_pricing_summary": _q_pricing_summary,
-        "topk_users_by_events": _q_topk_users,
-        "join_orders_by_nation": _q_orders_by_nation,
-        "events_hourly": _q_events_hourly,
-        "event_type_counts": _q_event_type_counts,
-        "events_topk_per_type": _q_events_topk_per_type,
-        "events_sliding_window": _q_events_sliding_window,
-        "doc_rule_metrics": _q_doc_rule_metrics,
-        "doc_langid": _q_doc_langid,
-        "doc_token_stats": _q_doc_token_stats,
-        "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_distinct_sources": _q_doc_distinct_sources,
-        "doc_quality": _q_doc_quality,
-        "doc_scrub": _q_doc_scrub,
-        "doc_minhash_dedup": _q_doc_minhash_dedup,
-        "doc_jaccard_dedup": _q_doc_jaccard_dedup,
-        "doc_containment_dedup": _q_doc_containment_dedup,
-        "doc_duplicate_components": _q_doc_duplicate_components,
-        "doc_cluster_dedup": _q_doc_cluster_dedup,
-        "doc_quality_clustered": _q_doc_quality_clustered,
-        "doc_simhash_dedup": _q_doc_simhash_dedup,
-        "emb_cosine_dedup": _q_emb_cosine_dedup,
-        "emb_dbscan_clusters": _q_emb_dbscan_clusters,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "doc_sample": _q_doc_sample,
-        "doc_top_ngrams": _q_doc_top_ngrams,
-        "doc_contamination": _q_doc_contamination,
-        "doc_length_histogram": _q_doc_length_histogram,
-        "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
-        "doc_stratified_sample": _q_doc_stratified_sample,
-        "doc_token_budget": _q_doc_token_budget,
-        "doc_incremental_dedup": _q_doc_incremental_dedup,
-        "doc_incremental_dedup_bloom": _q_doc_incremental_dedup_bloom,
-        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
-        "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
-        "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
-        "doc_length_quantiles": _q_doc_length_quantiles,
-        "doc_length_quantiles_by_source": _q_doc_length_quantiles_by_source,
-        "doc_repetition_signals": _q_doc_repetition_signals,
-        "doc_boilerplate_report": _q_doc_boilerplate_report,
-        "doc_clean_pipeline": _q_doc_clean_pipeline,
-        "doc_pii_redact": _q_doc_pii_redact,
-        "transcripts_pii_redact": _q_transcripts_pii_redact,
-        "doc_keywords": _q_doc_keywords,
-        "doc_quantile_filter": _q_doc_quantile_filter,
-        "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
-        "doc_url_parts": _q_doc_url_parts,
-        "doc_shuffle": _q_doc_shuffle,
-        "doc_train_val_split": _q_doc_train_val_split,
-        "top_orders_by_revenue": _q_top_orders_by_revenue,
+        # -- tier 1: newly-oracled + previously outside the driver window --
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "transcripts_conversation_stats": _q_conversation_stats,
+        "knn_recall": _q_knn_recall,
+        "transcripts_clean_pipeline": _q_transcripts_clean_pipeline,
         "events_sessionize": _q_events_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_burst_flags": _q_events_burst_flags,
         "events_range_join": _q_events_range_join,
+        "transcripts_conversation_stats": _q_conversation_stats,
         "transcripts_rule_metrics": _q_transcripts_rule_metrics,
         "transcripts_turn_dedup": _q_transcripts_turn_dedup,
         "transcripts_role_check": _q_transcripts_role_check,
@@ -1812,6 +1994,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_keep_full": _q_transcripts_conv_keep_full,
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
+        # -- tier 2: oracled, driver-green in r04 --
+        "agg_pricing_summary": _q_pricing_summary,
+        "topk_users_by_events": _q_topk_users,
+        "join_orders_by_nation": _q_orders_by_nation,
+        "top_orders_by_revenue": _q_top_orders_by_revenue,
+        "events_hourly": _q_events_hourly,
+        "event_type_counts": _q_event_type_counts,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "doc_rule_metrics": _q_doc_rule_metrics,
+        "doc_langid": _q_doc_langid,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_distinct_sources": _q_doc_distinct_sources,
+        "doc_quality": _q_doc_quality,
+        "doc_scrub": _q_doc_scrub,
+        "doc_jaccard_dedup": _q_doc_jaccard_dedup,
+        "doc_duplicate_components": _q_doc_duplicate_components,
+        "doc_cluster_dedup": _q_doc_cluster_dedup,
+        "doc_sample": _q_doc_sample,
+        "doc_top_ngrams": _q_doc_top_ngrams,
+        "doc_contamination": _q_doc_contamination,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "doc_token_budget": _q_doc_token_budget,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_repetition_signals": _q_doc_repetition_signals,
+        "doc_boilerplate_report": _q_doc_boilerplate_report,
+        "doc_clean_pipeline": _q_doc_clean_pipeline,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_keywords": _q_doc_keywords,
+        "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_url_parts": _q_doc_url_parts,
+        "doc_shuffle": _q_doc_shuffle,
+        "doc_train_val_split": _q_doc_train_val_split,
+        # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_containment_dedup": _q_doc_containment_dedup,
+        "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
+        "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
+        "doc_incremental_dedup_bloom": _q_doc_incremental_dedup_bloom,
+        "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
+        "doc_length_quantiles_by_source": _q_doc_length_quantiles_by_source,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "events_sliding_window": _q_events_sliding_window,
+        "transcripts_pii_redact": _q_transcripts_pii_redact,
+        "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
+        # -- tier 4: no oracle by nature (rows-only driver check) --
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_quality_clustered": _q_doc_quality_clustered,
+        "doc_simhash_dedup": _q_doc_simhash_dedup,
+        "emb_cosine_dedup": _q_emb_cosine_dedup,
+        "emb_dbscan_clusters": _q_emb_dbscan_clusters,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
     }
 
@@ -1945,6 +2181,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
             FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank
         """,
+        # LSH-IVF restated exactly: the engine's seeded hyperplanes are
+        # inlined as literals (sign of dot is normalization-invariant), the
+        # query buckets Hamming-1-expanded, candidates prefiltered by bucket,
+        # then exact cosine top-k over the survivors — bit-validated vs the
+        # engine at 3 SFs (see stages/similarity.py:knn_ivf).
+        "knn_ivf": f"""
+            WITH {_knn_bucket_ctes()},
+            scored AS (
+                SELECT q.qid, c.vec_id, list_cosine_similarity(c.emb, q.qe) AS cos
+                FROM (SELECT vec_id, emb FROM b
+                      WHERE bucket IN (SELECT w FROM wanted)) c
+                CROSS JOIN q),
+            ranked AS (
+                SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id
+            FROM ranked WHERE rnk <= {_KNN_K} ORDER BY query_id, cos DESC, vec_id
+        """,
+        # recall@k of each method vs exact brute-force top-k, recomputed
+        # end-to-end in SQL (both rankings + the set intersection); LEFT
+        # joins keep a zero-hit query visible as n_hits=0 on both sides
+        "knn_recall": f"""
+            WITH {_knn_bucket_ctes()},
+            brute_top AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(e.emb, q.qe) DESC,
+                                        e.vec_id) AS rnk
+                    FROM b e CROSS JOIN q) WHERE rnk <= {_KNN_K}),
+            ivf_top AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, c.vec_id,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(c.emb, q.qe) DESC,
+                                        c.vec_id) AS rnk
+                    FROM (SELECT vec_id, emb FROM b
+                          WHERE bucket IN (SELECT w FROM wanted)) c
+                    CROSS JOIN q) WHERE rnk <= {_KNN_K}),
+            rec AS (
+                SELECT 'brute' AS method, q.qid,
+                       (SELECT COUNT(*) FROM brute_top t WHERE t.qid = q.qid) AS n_hits
+                FROM q
+                UNION ALL
+                SELECT 'lsh_ivf', q.qid,
+                       (SELECT COUNT(*) FROM ivf_top i JOIN brute_top bt
+                         ON bt.qid = i.qid AND bt.vec_id = i.vec_id
+                         WHERE i.qid = q.qid)
+                FROM q)
+            SELECT method, CAST(qid AS BIGINT) AS query_id,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   CAST(n_hits AS DOUBLE) / {_KNN_K} AS recall
+            FROM rec ORDER BY method, query_id
+        """,
+        "transcripts_clean_pipeline": _transcripts_clean_pipeline_sql(),
         "transcripts_conversation_stats": f"""
             SELECT conv_id,
                    COUNT(*) AS n_turns,

@@ -35,11 +35,138 @@ class DeterministicFakeDecoder:
         }
 
 
+class PurePythonImageDecoder:
+    """REAL in-sandbox decode path, stdlib-only: parses PNG (8-bit gray /
+    RGB / RGBA, all five scanline filters, zlib IDAT) and uncompressed
+    24-bit BMP, returning true width/height and mean luma (ITU-R BT.601
+    0.299R+0.587G+0.114B, alpha ignored) under the same
+    ``.decode(bytes)->dict`` contract as the fake/PIL decoders. Built from
+    the public PNG (RFC 2083) and BMP format specs — no image library.
+    Unsupported variants (palette/16-bit/interlaced PNG, compressed BMP)
+    and corrupt payloads degrade to ok=False rather than failing the
+    block. Intended for feature extraction on small images; a production
+    deployment with pillow installed should prefer RealImageDecoder."""
+
+    _FAIL = {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
+
+    def decode(self, payload: bytes) -> dict:
+        if not payload:
+            return dict(self._FAIL)
+        try:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return self._decode_png(payload)
+            if payload[:2] == b"BM":
+                return self._decode_bmp(payload)
+        except Exception:
+            pass
+        return dict(self._FAIL)
+
+    def _decode_png(self, payload: bytes) -> dict:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pos, idat = 8, []
+        width = height = None
+        bit_depth = color_type = interlace = None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", data))
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        # supported: 8-bit gray(0) / RGB(2) / gray+alpha(4) / RGBA(6), no interlace
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if not width or not height or bit_depth != 8 or channels is None or interlace:
+            return dict(self._FAIL)
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return dict(self._FAIL)
+        bpp = channels
+        prev = np.zeros(stride, dtype=np.uint8)
+        rows = np.empty((height, stride), dtype=np.uint8)
+        for y in range(height):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = np.frombuffer(raw, dtype=np.uint8,
+                                 count=stride, offset=off + 1).astype(np.int32)
+            if f == 0:        # None
+                cur = line
+            elif f == 2:      # Up
+                cur = (line + prev) & 0xFF
+            else:             # Sub / Average / Paeth need left-recurrence
+                cur = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = int(prev[i])
+                    if f == 1:
+                        cur[i] = (line[i] + a) & 0xFF
+                    elif f == 3:
+                        cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                    elif f == 4:
+                        c = int(rows[y - 1, i - bpp]) if (i >= bpp and y > 0) else 0
+                        p = a + b - c
+                        pa_, pb, pcv = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa_ <= pb and pa_ <= pcv) else (b if pb <= pcv else c)
+                        cur[i] = (line[i] + pred) & 0xFF
+                    else:
+                        return dict(self._FAIL)
+            rows[y] = cur.astype(np.uint8)
+            prev = rows[y]
+        px = rows.reshape(height, width, channels).astype(np.float64)
+        if channels == 1:
+            luma = px[:, :, 0]
+        elif channels == 2:
+            luma = px[:, :, 0]
+        else:
+            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        return {"width": int(width), "height": int(height),
+                "mean_value": float(luma.mean() / 255.0), "ok": True}
+
+    def _decode_bmp(self, payload: bytes) -> dict:
+        import struct
+
+        import numpy as np
+
+        if len(payload) < 54:
+            return dict(self._FAIL)
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        hdr_size, width, height = struct.unpack("<IiI", payload[14:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+        if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+            return dict(self._FAIL)
+        height = int(np.int32(height))
+        flipped = height > 0          # positive height ⇒ bottom-up rows
+        height = abs(height)
+        row_bytes = (width * 3 + 3) & ~3
+        if len(payload) < data_off + row_bytes * height:
+            return dict(self._FAIL)
+        buf = np.frombuffer(payload, dtype=np.uint8,
+                            count=row_bytes * height, offset=data_off)
+        rows = buf.reshape(height, row_bytes)[:, : width * 3]
+        if flipped:
+            rows = rows[::-1]
+        px = rows.reshape(height, width, 3).astype(np.float64)  # BGR order
+        luma = 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+        return {"width": int(width), "height": int(height),
+                "mean_value": float(luma.mean() / 255.0), "ok": True}
+
+
 class RealImageDecoder:  # pragma: no cover - env-gated (PIL absent here)
     """Real decode path, fully wired for when pillow is installed: grayscale
     decode → width/height/mean — same output contract as the fake, so the
     Ray plumbing (schema, batch size, actor signature) is identical. A
-    corrupt payload degrades to ok=False rather than failing the block."""
+    corrupt payload degrades to ok=False rather than failing the block.
+    In-sandbox, ``PurePythonImageDecoder`` covers PNG/BMP without PIL."""
 
     def __init__(self):
         try:

