@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--enable-ppl", action="store_true")
         sp.add_argument("--wordlist", default=None)
+        sp.add_argument("--checkpoint-every", type=int, default=64,
+                        help="input files per manifest commit chunk; a crash "
+                             "loses at most one chunk of work")
         sp.add_argument("--shared-output", action="store_true",
                         help="multi-writer mode: this driver owns only its own "
                              "input slice of the output dir (exclusive=False); "
@@ -389,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
         words = load_words(args.wordlist) if args.wordlist else None
         stats = run_quality_job(args.input, args.output, cfg,
                                 resume=not args.no_resume, words=words,
+                                checkpoint_every=args.checkpoint_every,
                                 exclusive=not args.shared_output)
         print(json.dumps(stats))
         return 0

@@ -303,3 +303,29 @@ def test_decode_images_with_pure_python_decoder(ray_session):
     for i, (w, h, m) in enumerate(truths):
         assert (out.loc[i, "width"], out.loc[i, "height"]) == (w, h)
         assert abs(out.loc[i, "mean_value"] - m) < 1e-12
+
+
+def test_cli_checkpoint_every_flag(ray_session, tmp_path, capsys):
+    """--checkpoint-every reaches run_quality_job: with 2-file chunks, every
+    chunk commits its manifests independently and a rerun resumes as a no-op
+    (files_this_run == 0)."""
+    import json
+
+    from chinese_corpus_cleaning_ray.__main__ import main
+    from chinese_corpus_cleaning_ray.sources.transcripts import write_transcripts
+
+    src = write_transcripts(str(tmp_path / "in"), 2_000, seed=3,
+                            rows_per_file=500)  # 4 input files
+    out = str(tmp_path / "out")
+    rc = main(["process", "--input", src, "--output", out,
+               "--checkpoint-every", "2"])
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["files_done"] == 4 and first["files_this_run"] == 4
+    rc = main(["process", "--input", src, "--output", out,
+               "--checkpoint-every", "2"])
+    assert rc == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["files_this_run"] == 0
+    assert again["total"] == first["total"] == 2_000
+    assert again["kept"] == first["kept"]
