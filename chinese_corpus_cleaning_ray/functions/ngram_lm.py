@@ -162,6 +162,23 @@ class PerplexityScorer:
             base = max(0.0, 1.0 - (ppl - cfg.ppl_threshold / 2) / (cfg.max_ppl - cfg.ppl_threshold / 2))
         return base * (0.5 if spam else 1.0)
 
+    def evaluate(self, text: str) -> tuple[float, bool, float]:
+        """Fused (ppl, pass, score) — one ``calculate_perplexity`` and one
+        raw-text spam check instead of the two+three a check_perplexity /
+        get_perplexity_score pair costs. Formulas identical to those methods
+        (pinned by test), so keep/drop labels and scores never move."""
+        cfg = self.cfg
+        ppl = self.calculate_perplexity(text)
+        spam = has_spam_patterns(text)
+        is_good = ppl <= cfg.ppl_threshold and not spam
+        if ppl >= cfg.max_ppl:
+            base = 0.0
+        elif ppl <= cfg.ppl_threshold / 2:
+            base = 1.0
+        else:
+            base = max(0.0, 1.0 - (ppl - cfg.ppl_threshold / 2) / (cfg.max_ppl - cfg.ppl_threshold / 2))
+        return ppl, is_good, base * (0.5 if spam else 1.0)
+
 
 class HFPerplexityScorer(PerplexityScorer):  # pragma: no cover - env-gated
     """GPT-2 forward-pass perplexity (exp(loss) over the causal-LM loss —

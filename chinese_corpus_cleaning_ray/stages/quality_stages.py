@@ -173,11 +173,16 @@ class PplStage:
         ppl = [0.0] * len(texts)
         ppl_pass = [False] * len(texts)
         ppl_score = [0.0] * len(texts)
-        for i, text in enumerate(texts):
-            ok, details = self.scorer.check_perplexity(text)
-            ppl[i] = details["perplexity"]
-            ppl_pass[i] = ok
-            ppl_score[i] = self.scorer.get_perplexity_score(text)
+        fused = getattr(self.scorer, "evaluate", None)
+        if fused is not None:
+            for i, text in enumerate(texts):
+                ppl[i], ppl_pass[i], ppl_score[i] = fused(text)
+        else:  # injected scorer without the fused path (check/score contract)
+            for i, text in enumerate(texts):
+                ok, details = self.scorer.check_perplexity(text)
+                ppl[i] = details["perplexity"]
+                ppl_pass[i] = ok
+                ppl_score[i] = self.scorer.get_perplexity_score(text)
         batch = batch.append_column("ppl", pa.array(ppl, pa.float64()))
         batch = batch.append_column("ppl_pass", pa.array(ppl_pass, pa.bool_()))
         batch = batch.append_column("ppl_score", pa.array(ppl_score, pa.float64()))

@@ -72,3 +72,22 @@ def test_score_formula_edges(scorer):
 def test_segment_extraction_for_long_text(scorer):
     long_text = "。".join(CLEAN_SENTENCES) * 3
     assert scorer.calculate_perplexity(long_text) < scorer.cfg.ppl_threshold
+
+
+def test_evaluate_matches_check_and_score(scorer):
+    # fused evaluate() must be bit-identical to the check/score pair on
+    # clean, spam, gibberish, long, and empty inputs
+    cases = [
+        CLEAN_SENTENCES[0],
+        "精品视频在线观看一区二区",
+        "xqzv kjwf plmt 乱码乱码乱码",
+        "。".join(CLEAN_SENTENCES) * 3,
+        "",
+        "精彩内容在线观看",
+    ]
+    for text in cases:
+        ppl, ok, score = scorer.evaluate(text)
+        ok2, details = scorer.check_perplexity(text)
+        assert ppl == details["perplexity"], text
+        assert ok == ok2, text
+        assert score == scorer.get_perplexity_score(text), text
