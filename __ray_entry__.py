@@ -1867,6 +1867,23 @@ def _q_doc_shuffle(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_mixture_sample(sf_dir: str):
+    """Source-mixture resampling toward target token shares: weight src<i>
+    by i%4 (so every branch discriminates — weight-0 sources drop, mid
+    weights get partial LCG rates, the top weight saturates at rate 10000),
+    budget 20k CJK-aware tokens. Rates are pure integer arithmetic, so the
+    oracle restates plan + cut exactly."""
+    from chinese_corpus_cleaning_ray.stages.analysis import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    weights = {f"src{i}": i % 4 for i in range(200)}
+    out = mixture_sample(ds, key_col="source", id_col="doc_id",
+                         weights=weights, budget_tokens=20_000).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "source"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_train_val_split(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.analysis import train_val_split
 
@@ -2028,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_url_parts": _q_doc_url_parts,
         "doc_shuffle": _q_doc_shuffle,
+        "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_train_val_split": _q_doc_train_val_split,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_containment_dedup": _q_doc_containment_dedup,
@@ -2343,6 +2361,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shuffle_key,
                    ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rank
             FROM k ORDER BY doc_id
+        """,
+        # source-mixture resampling: per-source token mass (same RE2
+        # CJK-aware pattern as analysis.CJK_TOKEN_PATTERN — DuckDB regexp
+        # and pyarrow string kernels are both RE2, so counts agree
+        # byte-for-byte), integer quota budget*w//W with W=sum over the 20
+        # srcN sources of n%4 = 30, integer permyriad rate capped at 10000,
+        # then the sample_by_hash LCG cut mod 10000 — mirrors
+        # analysis.py:mixture_plan + mixture_sample exactly
+        "doc_mixture_sample": r"""
+            WITH mass AS (
+                SELECT source,
+                       SUM(CAST(length(regexp_extract_all(text,
+                           '\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul}|[^\s\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]+'))
+                           AS BIGINT)) AS toks
+                FROM documents GROUP BY source),
+            pm AS (
+                SELECT source,
+                       LEAST(10000,
+                             10000 * (20000 * (CAST(substr(source, 4) AS BIGINT) % 4) // 30)
+                             // toks) AS rate
+                FROM mass WHERE toks > 0)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN pm USING (source)
+            WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345)
+                  % 2147483648 % 10000 < pm.rate
+            ORDER BY d.doc_id
         """,
         # deterministic train/val labeling (seed 3, 10% val): same LCG
         # family as doc_sample; membership is a pure function of (id, seed)

@@ -977,3 +977,88 @@ def add_nonneg_id(ds, from_col: str, id_col: str = "row_id"):
         return batch.append_column(id_col, pa.array(ids))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_plan(ds, key_col: str, weights: dict[str, int],
+                 budget_tokens: int, text_col: str = "text",
+                 token_pattern: str = CJK_TOKEN_PATTERN) -> dict[str, int]:
+    """Compute per-source subsampling rates for a target data MIXTURE:
+    given integer mixture ``weights`` (parts — e.g. {"web": 6, "books": 3,
+    "wiki": 1}) and a total token ``budget_tokens``, each source's token
+    quota is ``budget * w_s // sum(w)`` and its keep rate (in permyriad,
+    0..10000) is ``min(10000, 10000 * quota_s // mass_s)`` — all INTEGER
+    arithmetic, so the plan is bit-reproducible and restatable in SQL.
+    A source whose corpus is smaller than its quota keeps everything
+    (rate 10000); callers wanting hard quotas compose ``token_budget_sample``
+    downstream instead.
+
+    One aggregation pass: token masses are pre-summed per source inside each
+    batch (CJK-aware pattern by default — see CJK_TOKEN_PATTERN), then a
+    small groupby moves one row per (block, source). The result is one row
+    per source — driver traffic bounded by the source vocabulary, not the
+    corpus. Sources absent from ``weights`` get rate 0 (dropped)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch.column(text_col),
+                                             pattern=token_pattern), pa.int64())
+        t = pa.table({key_col: batch.column(key_col), "toks": n})
+        agg = t.group_by(key_col).aggregate([("toks", "sum")])
+        return agg.rename_columns([key_col, "toks"])
+
+    mass_rows = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(key_col).sum("toks").take_all())
+    # normalize over sources PRESENT in the corpus — weight mass assigned to
+    # absent sources would otherwise silently shrink every real quota
+    w_total = sum(int(weights.get(row[key_col], 0)) for row in mass_rows)
+    if w_total <= 0:
+        return {row[key_col]: 0 for row in mass_rows}
+    rates: dict[str, int] = {}
+    for row in mass_rows:
+        src, mass = row[key_col], int(row["sum(toks)"])
+        w = int(weights.get(src, 0))
+        quota = budget_tokens * w // w_total
+        rates[src] = min(10000, 10000 * quota // mass) if mass > 0 else 0
+    return rates
+
+
+def mixture_sample(ds, key_col: str, id_col: str,
+                   weights: dict[str, int], budget_tokens: int,
+                   text_col: str = "text",
+                   token_pattern: str = CJK_TOKEN_PATTERN,
+                   mult: int = 1103515245, inc: int = 12345,
+                   mod: int = 2147483648, rates: dict[str, int] | None = None):
+    """Source-mixture subsampling — the DoReMi-style reweighting primitive
+    for assembling a training mix: resample each source toward its target
+    token share with a stateless per-row LCG cut, keeping a row iff
+    ``lcg(id) % 10000 < rate[source]`` where the per-source rates come from
+    :func:`mixture_plan` (or are passed precomputed via ``rates``).
+
+    Expected kept token mass per source ≈ its quota (CLT over documents);
+    membership is a pure function of (id, source), so the mix is
+    bit-reproducible across reruns, resumes, and cluster layouts, and the
+    whole operator is exactly restatable in SQL (integer LCG + integer
+    rate table). Two streaming passes, NO shuffle: the plan aggregate
+    (one row per source to the driver) and a vectorized filter with the
+    tiny rate dict shipped once via ``ray.put``. ``ds`` is consumed twice —
+    pass a re-readable source or ``materialize()`` a derived input, as with
+    quantile_filter. Ids must be non-negative integers (see sample_by_hash;
+    ``add_nonneg_id`` for string-keyed corpora)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    if rates is None:
+        rates = mixture_plan(ds, key_col, weights, budget_tokens,
+                             text_col=text_col, token_pattern=token_pattern)
+    rates_ref = ray.put(dict(rates))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rm = ray.get(rates_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % mod) * mult + inc) % mod
+        pm = (pd.Series(batch.column(key_col).to_pandas())
+              .map(rm).fillna(0).to_numpy(dtype=np.int64))
+        return batch.filter(pa.array((h % 10000) < pm))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

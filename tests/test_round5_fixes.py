@@ -329,3 +329,82 @@ def test_cli_checkpoint_every_flag(ray_session, tmp_path, capsys):
     assert again["files_this_run"] == 0
     assert again["total"] == first["total"] == 2_000
     assert again["kept"] == first["kept"]
+
+
+class TestMixtureSample:
+    """mixture_plan / mixture_sample: source reweighting toward target token
+    shares via integer LCG rates (drop / partial / cap branches planted)."""
+
+    def _corpus(self):
+        # 3 sources: "drop" (weight 0), "small" (tiny mass -> rate caps at
+        # 10000, kept whole), "big" (mass >> quota -> partial rate)
+        rows = []
+        did = 0
+        for _ in range(40):
+            rows.append((did, "drop", "甲乙丙丁戊己庚辛")); did += 1
+        for _ in range(5):
+            rows.append((did, "small", "你好")); did += 1
+        for _ in range(400):
+            rows.append((did, "big", "这是一条比较长的测试文本内容样例")); did += 1
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        })
+
+    def test_plan_branches(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import mixture_plan
+
+        ds = ray.data.from_arrow(self._corpus())
+        # masses: drop=320, small=10, big=6400; W = 1 + 3 = 4 (present only)
+        rates = mixture_plan(ds, "source", {"small": 1, "big": 3},
+                             budget_tokens=800)
+        assert rates["drop"] == 0
+        # small: quota 800*1//4=200 >= mass 10 -> capped
+        assert rates["small"] == 10000
+        # big: quota 600, mass 6400 -> 10000*600//6400 = 937
+        assert rates["big"] == 937
+
+    def test_sample_membership_and_determinism(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import mixture_sample
+
+        t = self._corpus()
+        weights = {"small": 1, "big": 3}
+        out1 = mixture_sample(ray.data.from_arrow(t), "source", "doc_id",
+                              weights, budget_tokens=800).to_pandas()
+        assert set(out1.loc[out1.source == "drop"].index) == set()
+        assert (out1.source == "small").sum() == 5  # capped source kept whole
+        nbig = (out1.source == "big").sum()
+        assert 0 < nbig < 400  # partial rate actually sampled
+        # expected keeps = 400 * 937/10000 = 37.5; LCG is uniform -> wide box
+        assert 15 <= nbig <= 70
+        # bit-reproducible across block layouts (resume invariance)
+        out2 = mixture_sample(
+            ray.data.from_arrow(t).repartition(7), "source", "doc_id",
+            weights, budget_tokens=800).to_pandas()
+        a = out1.sort_values("doc_id").doc_id.to_numpy()
+        b = out2.sort_values("doc_id").doc_id.to_numpy()
+        assert np.array_equal(a, b)
+
+    def test_precomputed_rates_skip_plan_pass(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import mixture_sample
+
+        out = mixture_sample(ray.data.from_arrow(self._corpus()), "source",
+                             "doc_id", {}, 0,
+                             rates={"big": 10000}).to_pandas()
+        assert (out.source == "big").all() and len(out) == 400
+
+    def test_all_zero_weights(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import mixture_plan
+
+        rates = mixture_plan(ray.data.from_arrow(self._corpus()), "source",
+                             {"absent": 5}, budget_tokens=800)
+        assert set(rates.values()) == {0}
