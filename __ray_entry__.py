@@ -1077,6 +1077,22 @@ def _q_events_sessionize(sf_dir: str):
     return out
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase: per user, greedy
+    earliest-match subsequence with strictly increasing timestamps; depth =
+    steps completed. The SQL restatement is the chain-of-MIN (step k+1 ts =
+    MIN ts of its type strictly after step k's), which equals the greedy
+    scan exactly."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import funnel_depths
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = funnel_depths(ds, ["view", "click", "purchase"]).to_pandas()
+    for c in ("user_id", "funnel_depth"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "funnel_depth"]]
+            .sort_values("user_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -1884,6 +1900,22 @@ def _q_doc_mixture_sample(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_pack_chunks(sf_dir: str):
+    """Sequence packing (concat-and-chunk): documents concatenated in doc_id
+    order into a single token stream, split every 2048 CJK-aware tokens;
+    each doc labeled with the chunk holding its first token. Distributed
+    prefix-scan (per-bucket sums -> driver offsets), restated exactly as a
+    SQL window cumsum."""
+    from chinese_corpus_cleaning_ray.stages.analysis import pack_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_chunks(ds, id_col="doc_id", ctx_len=2048).to_pandas()
+    for c in ("doc_id", "n_tokens", "chunk_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_tokens", "chunk_id"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_doc_train_val_split(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.analysis import train_val_split
 
@@ -2001,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_clean_pipeline": _q_transcripts_clean_pipeline,
         "events_sessionize": _q_events_sessionize,
         "events_asof_join": _q_events_asof_join,
+        "events_funnel": _q_events_funnel,
         "events_burst_flags": _q_events_burst_flags,
         "events_range_join": _q_events_range_join,
         "transcripts_conversation_stats": _q_conversation_stats,
@@ -2017,13 +2050,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_by_nation": _q_orders_by_nation,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "events_hourly": _q_events_hourly,
-        "event_type_counts": _q_event_type_counts,
         "events_topk_per_type": _q_events_topk_per_type,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
         "doc_token_stats": _q_doc_token_stats,
         "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_distinct_sources": _q_doc_distinct_sources,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
@@ -2046,8 +2077,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_parts": _q_doc_url_parts,
         "doc_shuffle": _q_doc_shuffle,
         "doc_mixture_sample": _q_doc_mixture_sample,
+        "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_train_val_split": _q_doc_train_val_split,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "event_type_counts": _q_event_type_counts,
+        "doc_distinct_sources": _q_doc_distinct_sources,
         "doc_containment_dedup": _q_doc_containment_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
@@ -2387,6 +2421,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345)
                   % 2147483648 % 10000 < pm.rate
             ORDER BY d.doc_id
+        """,
+        # ordered funnel: chain-of-MIN restatement of the greedy
+        # earliest-match subsequence scan (step k+1 ts = MIN ts of its type
+        # STRICTLY after step k's ts) — identical semantics to
+        # conversations.py:funnel_depths; population = users with >=1
+        # step-type event (non-step rows never shuffle on the Ray side)
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CASE WHEN s3.t IS NOT NULL THEN 3
+                        WHEN s2.t IS NOT NULL THEN 2
+                        WHEN s1.t IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_depth
+            FROM (SELECT DISTINCT user_id FROM events
+                  WHERE event_type IN ('view', 'click', 'purchase')) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id
+        """,
+        # sequence packing: exclusive prefix sum of CJK-aware token counts
+        # (same RE2 pattern as doc_mixture_sample) in doc_id order, chunk =
+        # start_tok // 2048 — mirrors analysis.py:pack_chunks' distributed
+        # prefix-scan exactly (window cumsum == bucket offsets + local scan)
+        "doc_pack_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text,
+                           '\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul}|[^\s\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]+'))
+                           AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS start_tok
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start_tok // 2048 AS BIGINT) AS chunk_id
+            FROM c ORDER BY doc_id
         """,
         # deterministic train/val labeling (seed 3, 10% val): same LCG
         # family as doc_sample; membership is a pure function of (id, seed)

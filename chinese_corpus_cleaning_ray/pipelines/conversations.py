@@ -314,6 +314,72 @@ def sessionize_events(ds, gap_seconds: int = 1800, shards: int = 256):
     )
 
 
+def funnel_depths(ds, steps: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  shards: int = 256):
+    """Ordered FUNNEL analysis: per user, how many of ``steps`` were
+    completed as a subsequence with strictly increasing timestamps (greedy
+    earliest-match, which is optimal for subsequence existence and equals
+    the SQL chain-of-MIN restatement: step k+1's timestamp is the MIN ts of
+    that event type strictly after step k's). Output: one row per user that
+    has at least one step-type event — (user_id, funnel_depth in 0..len).
+
+    Plan: rows of non-step types are dropped AT THE SCAN (the only shuffle
+    moves (user, ts, type) for step events only); hash-shard by user so a
+    user's history lands whole; inside a shard the kernel is len(steps)
+    vectorized rounds — mask by type, compare against the per-user frontier,
+    groupby-min — no sort and no per-user Python. Driver traffic: none."""
+    import pyarrow.compute as pc
+
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch.column(user_col)
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"funnel_depths shards on integer {user_col}; got {col.type}."
+            )
+        b = batch.filter(pc.is_in(batch.column(type_col),
+                                  value_set=pa.array(steps)))
+        ts_us = pc.cast(pc.cast(b.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({
+            user_col: b.column(user_col),
+            "__ts": ts_us,
+            type_col: b.column(type_col),
+            "shard": pc.cast(pc.bit_wise_and(b.column(user_col), shards - 1),
+                             pa.int32()),
+        })
+
+    NEG_INF = np.int64(-(2 ** 62))
+
+    def depths(group: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(group[user_col].unique())
+        depth = pd.Series(0, index=users, dtype=np.int64)
+        frontier = pd.Series(NEG_INF, index=users)  # last matched step's ts
+        for k, et in enumerate(steps, start=1):
+            sel = group.loc[group[type_col].eq(et), [user_col, "__ts"]]
+            prev = sel[user_col].map(frontier).to_numpy()
+            # users past the frontier only; NaN (user already dropped out)
+            # compares False and falls away
+            sel = sel.loc[sel["__ts"].to_numpy() > prev]
+            frontier = sel.groupby(user_col)["__ts"].min()
+            if frontier.empty:
+                break
+            depth.loc[frontier.index] = k
+        return pd.DataFrame({user_col: users.to_numpy(),
+                             "funnel_depth": depth.to_numpy()})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(depths, batch_format="pandas")
+    )
+
+
 def dedup_conversation_turns(ds, text_col: str = "text", shards: int = 256):
     """Within-conversation turn dedup (agent-loop degeneration filter):
     drop every turn whose ``text_col`` exactly equals an EARLIER turn's text

@@ -1062,3 +1062,75 @@ def mixture_sample(ds, key_col: str, id_col: str,
         return batch.filter(pa.array((h % 10000) < pm))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pack_chunks(ds, id_col: str = "doc_id", text_col: str = "text",
+                ctx_len: int = 4096, token_pattern: str = CJK_TOKEN_PATTERN,
+                n_buckets: int = 256):
+    """Sequence PACKING (concat-and-chunk) — the pretraining batch-assembly
+    op: documents are conceptually concatenated in ``id_col`` order into one
+    token stream and split every ``ctx_len`` tokens; each doc is labeled with
+    the chunk its FIRST token lands in (``chunk_id = start_tok // ctx_len``,
+    with ``start_tok`` the exclusive prefix sum of CJK-aware token counts in
+    id order). Pure integer arithmetic over a total order, so the layout is
+    bit-reproducible and exactly restatable in SQL as a window cumsum.
+
+    Plan — a distributed PREFIX-SCAN, no global sort and no text shuffle:
+    1. range-bucket each row by id (``(id - lo) // width`` with lo/hi from a
+       one-row min/max aggregate; bucket order == id order by construction);
+    2. per-bucket token sums via in-batch partial aggregation → ≤
+       ``n_buckets`` rows to the driver, which computes each bucket's
+       exclusive prefix OFFSET (the scan step — O(n_buckets), driver-bounded);
+    3. per-bucket ``map_groups``: vectorized id-sort + cumsum + broadcast
+       offset → chunk ids. Only (id, n_tokens, bucket) moves through the
+       shuffle — document text never does.
+    Bucket ranges only affect load balance, never the result; sparse or
+    skewed id spaces degrade to fewer effective buckets (perf, not
+    correctness). ``ds`` is consumed twice — pass a re-readable source, as
+    with ``quantile_filter`` / ``mixture_sample``. Ids must be integers.
+
+    Returns (id_col, n_tokens, chunk_id); order within a bucket is id-sorted,
+    global order is per-consumer (sort downstream if needed)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    bounds = ds.select_columns([id_col]).aggregate(
+        ray.data.aggregate.Min(id_col), ray.data.aggregate.Max(id_col))
+    lo, hi = int(bounds[f"min({id_col})"]), int(bounds[f"max({id_col})"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def count_and_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.cast(pc.count_substring_regex(batch.column(text_col),
+                                                pattern=token_pattern),
+                       pa.int64())
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": toks,
+                         "__bucket": pa.array((ids - lo) // width)})
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        agg = (count_and_bucket(batch).select(["__bucket", "n_tokens"])
+               .group_by("__bucket").aggregate([("n_tokens", "sum")]))
+        return agg.rename_columns(["__bucket", "toks"])
+
+    sums = (ds.map_batches(bucket_partials, batch_format="pyarrow")
+            .groupby("__bucket").sum("toks").take_all())
+    sums.sort(key=lambda r: r["__bucket"])
+    offsets, run = {}, 0
+    for r in sums:
+        offsets[int(r["__bucket"])] = run
+        run += int(r["sum(toks)"])
+    offsets_ref = ray.put(offsets)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(group["__bucket"].iloc[0])]
+        g = group.sort_values(id_col, kind="mergesort")
+        start = off + g["n_tokens"].cumsum() - g["n_tokens"]
+        g["chunk_id"] = (start // ctx_len).astype(np.int64)
+        return g.drop(columns=["__bucket"])
+
+    return (ds.map_batches(count_and_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(assign, batch_format="pandas"))

@@ -408,3 +408,150 @@ class TestMixtureSample:
         rates = mixture_plan(ray.data.from_arrow(self._corpus()), "source",
                              {"absent": 5}, budget_tokens=800)
         assert set(rates.values()) == {0}
+
+
+class TestPackChunks:
+    """pack_chunks: concat-and-chunk sequence packing as a distributed
+    prefix-scan — checked against a local pandas window-cumsum oracle."""
+
+    def _corpus(self):
+        # sparse, skewed, UNSORTED ids; a zero-token doc (empty text); CJK +
+        # ascii mix so the CJK-aware pattern is exercised on both branches
+        ids = [7, 1, 5000, 3, 999_983, 12, 40, 41, 42, 2, 100_000, 8]
+        texts = ["好" * 30, "hello world foo", "", "甲乙丙 and then some",
+                 "x " * 50, "短", "mixed 中文 tokens here", "好" * 7,
+                 "longer ascii text with several tokens", "你好世界",
+                 "a", "好" * 13]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts)})
+
+    def _oracle(self, t, ctx):
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from chinese_corpus_cleaning_ray.stages.analysis import CJK_TOKEN_PATTERN
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_pylist(),
+            "n_tokens": pc.count_substring_regex(
+                t.column("text"), pattern=CJK_TOKEN_PATTERN).to_pylist(),
+        }).sort_values("doc_id").reset_index(drop=True)
+        start = df.n_tokens.cumsum() - df.n_tokens
+        df["chunk_id"] = start // ctx
+        return df
+
+    def test_matches_window_cumsum_oracle(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import pack_chunks
+
+        t = self._corpus()
+        for ctx in (16, 64):
+            got = (pack_chunks(ray.data.from_arrow(t), ctx_len=ctx,
+                               n_buckets=4)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            want = self._oracle(t, ctx)
+            assert got[["doc_id", "n_tokens", "chunk_id"]].astype("int64") \
+                .equals(want.astype("int64")), f"ctx={ctx}\n{got}\n{want}"
+
+    def test_layout_invariance(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import pack_chunks
+
+        t = self._corpus()
+        a = (pack_chunks(ray.data.from_arrow(t), ctx_len=16, n_buckets=4)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (pack_chunks(ray.data.from_arrow(t).repartition(5), ctx_len=16,
+                         n_buckets=64)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.astype("int64").equals(b.astype("int64"))
+
+    def test_chunks_are_contiguous_and_bounded(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import pack_chunks
+
+        got = (pack_chunks(ray.data.from_arrow(self._corpus()), ctx_len=16,
+                           n_buckets=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # chunk ids never decrease in stream order, and a doc's start offset
+        # within its chunk is < ctx (first token lands inside the chunk)
+        assert (got.chunk_id.diff().dropna() >= 0).all()
+        start = got.n_tokens.cumsum() - got.n_tokens
+        assert ((start - got.chunk_id * 16) < 16).all()
+        assert (start - got.chunk_id * 16 >= 0).all()
+
+
+class TestFunnelDepths:
+    """funnel_depths: greedy ordered-subsequence funnel with strict-ts
+    progression (tie / out-of-order / dropout branches planted)."""
+
+    def _events(self):
+        import pandas as pd
+        rows = [
+            # u1 completes all 3 in order
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: click BEFORE view -> stops at depth 1
+            (2, 10, "click"), (2, 20, "view"),
+            # u3: purchase at SAME ts as click -> strict > blocks depth 3
+            (3, 10, "view"), (3, 20, "click"), (3, 20, "purchase"),
+            # u4: only purchase -> depth 0 (but present: has a step event)
+            (4, 10, "purchase"),
+            # u5: two views; the EARLIEST enables the later click
+            (5, 10, "view"), (5, 50, "view"), (5, 20, "click"),
+            # u6: completes via a later-view path the greedy min still finds
+            (6, 10, "view"), (6, 5, "click"), (6, 20, "click"),
+            (6, 30, "purchase"),
+        ]
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1], unit="s") for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        })
+
+    def test_planted_depths(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import funnel_depths
+
+        out = (funnel_depths(ray.data.from_arrow(self._events()),
+                             ["view", "click", "purchase"], shards=4)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        got = dict(zip(out.user_id, out.funnel_depth))
+        assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 2, 6: 3}
+
+    def test_layout_invariance_and_nonstep_rows(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import funnel_depths
+
+        t = self._events()
+        # splice in non-step noise rows; must not change any depth
+        noise = pa.table({
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([pd.Timestamp(15, unit="s")] * 3,
+                           pa.timestamp("us")),
+            "event_type": pa.array(["error", "signup", "error"]),
+        })
+        both = pa.concat_tables([t, noise])
+        a = (funnel_depths(ray.data.from_arrow(t), ["view", "click", "purchase"],
+                           shards=4).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+        b = (funnel_depths(ray.data.from_arrow(both).repartition(6),
+                           ["view", "click", "purchase"], shards=64)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert a.astype("int64").equals(b.astype("int64"))
+
+    def test_bad_args(self, ray_session):
+        import pytest
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import funnel_depths
+
+        ds = ray.data.from_arrow(self._events())
+        with pytest.raises(ValueError):
+            funnel_depths(ds, ["view"], shards=3)
+        with pytest.raises(ValueError):
+            funnel_depths(ds, [])
