@@ -1093,6 +1093,35 @@ def _q_events_funnel(sf_dir: str):
             .sort_values("user_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_events_retention(sf_dir: str):
+    """Retention-cohort triangle: users cohorted by first active UTC day,
+    counted once per (cohort_day, day_offset) active — integer day math
+    (epoch_us // 86400e6), one user-sharded pass + tiny groupby-sum."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = retention_cohorts(ds).to_pandas()
+    for c in ("cohort_day", "day_offset", "n_users"):
+        out[c] = out[c].astype("int64")
+    return (out[["cohort_day", "day_offset", "n_users"]]
+            .sort_values(["cohort_day", "day_offset"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _q_doc_char_rank(sf_dir: str):
+    """Global competition rank of documents by n_chars WITHOUT a global
+    sort: distinct-value counts -> driver CDF -> broadcast searchsorted.
+    rank_lt == SQL RANK() OVER (ORDER BY n_chars) - 1, bit-exact."""
+    from chinese_corpus_cleaning_ray.stages.analysis import rank_by_value
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = rank_by_value(ds, "n_chars").to_pandas()
+    for c in ("doc_id", "n_chars", "rank_lt"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_chars", "rank_lt"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -2034,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_burst_flags": _q_events_burst_flags,
         "events_range_join": _q_events_range_join,
         "transcripts_conversation_stats": _q_conversation_stats,
@@ -2048,7 +2078,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": _q_pricing_summary,
         "topk_users_by_events": _q_topk_users,
         "join_orders_by_nation": _q_orders_by_nation,
-        "top_orders_by_revenue": _q_top_orders_by_revenue,
         "events_hourly": _q_events_hourly,
         "events_topk_per_type": _q_events_topk_per_type,
         "doc_rule_metrics": _q_doc_rule_metrics,
@@ -2063,7 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_contamination": _q_doc_contamination,
-        "doc_length_histogram": _q_doc_length_histogram,
+        "doc_char_rank": _q_doc_char_rank,
         "doc_token_budget": _q_doc_token_budget,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
@@ -2082,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "event_type_counts": _q_event_type_counts,
         "doc_distinct_sources": _q_doc_distinct_sources,
+        "top_orders_by_revenue": _q_top_orders_by_revenue,
+        "doc_length_histogram": _q_doc_length_histogram,
         "doc_containment_dedup": _q_doc_containment_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
@@ -2447,6 +2478,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
             ORDER BY u.user_id
+        """,
+        # retention cohorts: first-active-day per user, one count per
+        # (cohort, offset) a user was active on — integer UTC-day math
+        # (FLOOR(epoch/86400) == epoch_us // 86400e6 for the post-epoch
+        # synthetic timestamps) — mirrors conversations.py:retention_cohorts
+        "events_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id)
+            SELECT f.d0 AS cohort_day,
+                   d.day - f.d0 AS day_offset,
+                   COUNT(*) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # global rank without global sort: rank_lt = rows with strictly
+        # smaller n_chars (ties share) — RANK()-1 restates the CDF-broadcast
+        # plan in analysis.py:rank_by_value exactly
+        "doc_char_rank": """
+            SELECT doc_id, n_chars,
+                   RANK() OVER (ORDER BY n_chars) - 1 AS rank_lt
+            FROM documents ORDER BY doc_id
         """,
         # sequence packing: exclusive prefix sum of CJK-aware token counts
         # (same RE2 pattern as doc_mixture_sample) in doc_id order, chunk =

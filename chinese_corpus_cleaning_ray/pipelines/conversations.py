@@ -380,6 +380,59 @@ def funnel_depths(ds, steps: list[str], user_col: str = "user_id",
     )
 
 
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      shards: int = 256):
+    """Retention-cohort matrix: users cohorted by their FIRST active day
+    (UTC days since epoch), counted once per (cohort_day, day_offset) they
+    were active on. Output: (cohort_day, day_offset, n_users) — the classic
+    triangle table, all integer arithmetic (day = epoch_us // 86400e6), so
+    bit-exact against the SQL MIN/DATEDIFF restatement.
+
+    Plan: one user-sharded pass — (user, day) pruned at the scan, hash-shard
+    by user so each user's history is whole, per-shard vectorized kernel
+    (distinct days → per-user min → offsets → PARTIAL (cohort, offset)
+    counts), then a tiny global groupby-sum over at most
+    shards × |day-pairs| partial rows. Users are whole per shard, so partial
+    counts never double-count; no text or raw event ever shuffles twice."""
+    import pyarrow.compute as pc
+
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    US_PER_DAY = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch.column(user_col)
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"retention_cohorts shards on integer {user_col}; got {col.type}."
+            )
+        ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({
+            user_col: col,
+            "__day": pc.divide(ts_us, US_PER_DAY),
+            "shard": pc.cast(pc.bit_wise_and(col, shards - 1), pa.int32()),
+        })
+
+    def partial_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[[user_col, "__day"]].drop_duplicates()
+        d0 = g.groupby(user_col)["__day"].transform("min")
+        out = pd.DataFrame({"cohort_day": d0.to_numpy(),
+                            "day_offset": (g["__day"] - d0).to_numpy()})
+        c = (out.groupby(["cohort_day", "day_offset"], sort=False)
+             .size().reset_index(name="n_users"))
+        return c
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("shard")
+             .map_groups(partial_counts, batch_format="pandas"))
+    return (parts.groupby(["cohort_day", "day_offset"]).sum("n_users")
+            .map_batches(lambda b: b.rename_columns(
+                ["cohort_day", "day_offset", "n_users"]),
+                batch_format="pyarrow"))
+
+
 def dedup_conversation_turns(ds, text_col: str = "text", shards: int = 256):
     """Within-conversation turn dedup (agent-loop degeneration filter):
     drop every turn whose ``text_col`` exactly equals an EARLIER turn's text

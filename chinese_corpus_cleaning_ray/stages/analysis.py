@@ -1134,3 +1134,47 @@ def pack_chunks(ds, id_col: str = "doc_id", text_col: str = "text",
     return (ds.map_batches(count_and_bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(assign, batch_format="pandas"))
+
+
+def rank_by_value(ds, col: str, out_col: str = "rank_lt",
+                  max_distinct: int = 2_000_000):
+    """Global competition rank WITHOUT a global sort: ``out_col`` = number
+    of rows in the whole dataset whose ``col`` is STRICTLY less (ties share
+    a rank — exactly SQL ``RANK() OVER (ORDER BY col) - 1``).
+
+    Plan: a value-count aggregate (partial counts inside each batch, then a
+    groupby-sum over one row per DISTINCT value) → the driver sorts the
+    distinct values and takes the exclusive prefix sum — the classic
+    CDF-broadcast trick — and a second streaming pass maps each row through
+    the broadcast rank table (``ray.put`` once, searchsorted per batch).
+    No all-to-all over the data; the only driver-side object is the distinct
+    value table, so this is for QUANTIZED columns (lengths, integer scores,
+    bucketed floats) — guarded by ``max_distinct`` (raises, never silently
+    truncates). ``ds`` is consumed twice, as with ``quantile_filter``."""
+    import numpy as np
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        return t.rename_columns([col, "n"])
+
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(col).sum("n").take_all())
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"rank_by_value: {len(rows)} distinct {col!r} values exceeds "
+            f"max_distinct={max_distinct}; rank a quantized column instead."
+        )
+    vals = np.sort(np.array([r[col] for r in rows]))
+    counts_by_val = {r[col]: int(r["sum(n)"]) for r in rows}
+    counts = np.array([counts_by_val[v] for v in vals], dtype=np.int64)
+    ranks = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    table_ref = ray.put((vals, ranks))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        v, rk = ray.get(table_ref)
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(v, x)
+        return batch.append_column(out_col, pa.array(rk[idx], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

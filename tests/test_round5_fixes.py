@@ -555,3 +555,85 @@ class TestFunnelDepths:
             funnel_depths(ds, ["view"], shards=3)
         with pytest.raises(ValueError):
             funnel_depths(ds, [])
+
+
+class TestRetentionCohorts:
+    """retention_cohorts: first-day cohorting with per-(cohort, offset)
+    distinct-user counts (multi-event days, cross-cohort overlap planted)."""
+
+    def _events(self):
+        import pandas as pd
+        DAY = 86_400
+        rows = [
+            # u1: first day 0, active days 0, 1, 3 (two events on day 0)
+            (1, 0), (1, 100), (1, DAY + 5), (1, 3 * DAY),
+            # u2: same cohort day 0, active days 0, 1
+            (2, 50), (2, DAY + 9),
+            # u3: cohort day 1, active days 1, 3
+            (3, DAY), (3, 3 * DAY + 7),
+        ]
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1], unit="s") for r in rows],
+                           pa.timestamp("us")),
+        })
+
+    def test_planted_triangle(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            retention_cohorts,
+        )
+
+        out = (retention_cohorts(ray.data.from_arrow(self._events()), shards=4)
+               .to_pandas().sort_values(["cohort_day", "day_offset"])
+               .reset_index(drop=True))
+        got = {(r.cohort_day, r.day_offset): r.n_users
+               for r in out.itertuples()}
+        assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1, (1, 2): 1}
+
+    def test_layout_invariance(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            retention_cohorts,
+        )
+
+        t = self._events()
+        a = (retention_cohorts(ray.data.from_arrow(t), shards=4)
+             .to_pandas().sort_values(["cohort_day", "day_offset"])
+             .reset_index(drop=True))
+        b = (retention_cohorts(ray.data.from_arrow(t).repartition(5),
+                               shards=64)
+             .to_pandas().sort_values(["cohort_day", "day_offset"])
+             .reset_index(drop=True))
+        assert a.astype("int64").equals(b.astype("int64"))
+
+
+class TestRankByValue:
+    """rank_by_value: CDF-broadcast global rank — ties share, strict-less
+    counting, distinct-cardinality guard."""
+
+    def test_matches_rank_minus_one(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import rank_by_value
+
+        vals = [5, 3, 5, 1, 9, 3, 3, 7, 1, 5]
+        t = pa.table({"id": pa.array(range(10), pa.int64()),
+                      "v": pa.array(vals, pa.int64())})
+        out = (rank_by_value(ray.data.from_arrow(t).repartition(3), "v")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        # oracle: count of strictly smaller values
+        want = [sum(1 for w in vals if w < v) for v in vals]
+        assert out.rank_lt.tolist() == want
+
+    def test_distinct_guard(self, ray_session):
+        import pytest
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import rank_by_value
+
+        t = pa.table({"v": pa.array(range(100), pa.int64())})
+        with pytest.raises(ValueError, match="distinct"):
+            rank_by_value(ray.data.from_arrow(t), "v", max_distinct=10)
