@@ -25,6 +25,13 @@ ref:process_documents.py:86-161 ``process/...``):
         offline DBSCAN corpus builder over an embedding column
         (ref:utils/clustering.py:49-120; parquet of (id, cluster, is_core)
         replaces the reference's driver-memory pickle)
+    python -m chinese_corpus_cleaning_ray packchunks --input DIR --output DIR
+        concat-and-chunk sequence packing: (id, n_tokens, chunk_id) layout
+        via a distributed prefix-scan
+    python -m chinese_corpus_cleaning_ray mixture --input DIR --output DIR \
+        --weights '{"web": 6, "wiki": 1}' --budget-tokens N
+        source-mixture resampling toward target token shares (integer
+        rate table printed for audit/replay)
 
 Owns the Ray session (guarded init) — the only place in the package that may
 call ray.init.
@@ -146,6 +153,27 @@ def main(argv: list[str] | None = None) -> int:
     pii.add_argument("--output", required=True)
     pii.add_argument("--text-col", default="text")
     pii.add_argument("--num-cpus", type=int, default=None)
+
+    pk = sub.add_parser("packchunks")
+    pk.add_argument("--input", required=True, help="parquet with id+text")
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--ctx-len", type=int, default=4096)
+    pk.add_argument("--num-cpus", type=int, default=None)
+
+    mx = sub.add_parser("mixture")
+    mx.add_argument("--input", required=True,
+                    help="parquet with id+key+text columns")
+    mx.add_argument("--output", required=True)
+    mx.add_argument("--key-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--weights", required=True,
+                    help='JSON integer parts per source, e.g. '
+                         '\'{"web": 6, "books": 3, "wiki": 1}\'')
+    mx.add_argument("--budget-tokens", type=int, required=True)
+    mx.add_argument("--num-cpus", type=int, default=None)
 
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
@@ -315,6 +343,63 @@ def main(argv: list[str] | None = None) -> int:
                 batch_format="pyarrow").sum("n") or 0)
             print(json.dumps({"docs_in": n_in, "docs_out": out.count(),
                               "chars_out": chars_out, "output": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "packchunks":
+        # concat-and-chunk sequence packing: (id, n_tokens, chunk_id)
+        # parquet out — the chunk layout a trainer consumes, computed as a
+        # distributed prefix-scan (see stages/analysis.py:pack_chunks)
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.analysis import pack_chunks
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.text_col])
+            out = pack_chunks(ds, id_col=args.id_col, text_col=args.text_col,
+                              ctx_len=args.ctx_len).materialize()
+            out.write_parquet(args.output)
+            total = int(out.sum("n_tokens") or 0)
+            n_chunks = int((out.max("chunk_id") + 1)
+                           if out.count() else 0)
+            print(json.dumps({"rows": out.count(), "total_tokens": total,
+                              "ctx_len": args.ctx_len, "n_chunks": n_chunks,
+                              "output": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "mixture":
+        # source-mixture resampling toward target token shares (see
+        # stages/analysis.py:mixture_plan/mixture_sample); prints the
+        # integer rate table so the cut is auditable and replayable
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.analysis import (
+                mixture_plan,
+                mixture_sample,
+            )
+
+            weights = {k: int(v) for k, v in json.loads(args.weights).items()}
+            cols = [args.id_col, args.key_col, args.text_col]
+            rates = mixture_plan(rd.read_parquet(args.input, columns=cols),
+                                 args.key_col, weights, args.budget_tokens,
+                                 text_col=args.text_col)
+            out = mixture_sample(rd.read_parquet(args.input, columns=cols),
+                                 args.key_col, args.id_col, weights,
+                                 args.budget_tokens, text_col=args.text_col,
+                                 rates=rates).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rows_kept": out.count(),
+                              "rates_permyriad": rates,
+                              "output": args.output}))
             return 0
         finally:
             if owned:

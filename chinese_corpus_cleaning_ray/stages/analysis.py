@@ -1098,6 +1098,14 @@ def pack_chunks(ds, id_col: str = "doc_id", text_col: str = "text",
 
     bounds = ds.select_columns([id_col]).aggregate(
         ray.data.aggregate.Min(id_col), ray.data.aggregate.Max(id_col))
+    if bounds is None or bounds.get(f"min({id_col})") is None:
+        # empty input: emit the output shape with zero rows
+        def empty(batch: pa.Table) -> pa.Table:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64())})
+
+        return ds.map_batches(empty, batch_format="pyarrow")
     lo, hi = int(bounds[f"min({id_col})"]), int(bounds[f"max({id_col})"])
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 

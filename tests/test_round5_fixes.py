@@ -637,3 +637,78 @@ class TestRankByValue:
         t = pa.table({"v": pa.array(range(100), pa.int64())})
         with pytest.raises(ValueError, match="distinct"):
             rank_by_value(ray.data.from_arrow(t), "v", max_distinct=10)
+
+
+def test_round5_ops_empty_input(ray_session):
+    """All round-5 operators degrade to 0 rows on empty input, no crash."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        funnel_depths,
+        retention_cohorts,
+    )
+    from chinese_corpus_cleaning_ray.stages.analysis import (
+        mixture_sample,
+        pack_chunks,
+        rank_by_value,
+    )
+
+    docs = pa.table({"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string()),
+                     "source": pa.array([], pa.string()),
+                     "n_chars": pa.array([], pa.int64())})
+    ev = pa.table({"user_id": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.timestamp("us")),
+                   "event_type": pa.array([], pa.string())})
+    assert len(pack_chunks(ray.data.from_arrow(docs)).to_pandas()) == 0
+    assert len(rank_by_value(ray.data.from_arrow(docs), "n_chars")
+               .to_pandas()) == 0
+    assert len(mixture_sample(ray.data.from_arrow(docs), "source", "doc_id",
+                              {"a": 1}, 100).to_pandas()) == 0
+    assert len(funnel_depths(ray.data.from_arrow(ev), ["view", "click"])
+               .to_pandas()) == 0
+    assert len(retention_cohorts(ray.data.from_arrow(ev)).to_pandas()) == 0
+
+
+def test_cli_packchunks_and_mixture(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "source": pa.array((["web"] * 2 + ["wiki"]) * 20),
+        "text": pa.array([f"доc {i} " + "好" * 40 for i in range(60)]),
+    }), src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "packchunks",
+         "--input", src, "--output", str(tmp_path / "pk"),
+         "--ctx-len", "128", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 60 and m["n_chunks"] >= 2
+    assert m["total_tokens"] >= 60 * 42
+    got = pq.read_table(str(tmp_path / "pk"))
+    assert sorted(got.column_names) == ["chunk_id", "doc_id", "n_tokens"]
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "mixture",
+         "--input", src, "--output", str(tmp_path / "mx"),
+         "--weights", '{"wiki": 1}', "--budget-tokens", "400",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    # web has weight 0 -> dropped entirely; wiki partially sampled
+    assert m["rates_permyriad"]["web"] == 0
+    assert 0 < m["rates_permyriad"]["wiki"] <= 10000
+    kept = pq.read_table(str(tmp_path / "mx"))
+    assert set(kept.column("source").to_pylist()) == {"wiki"}
+    assert 0 < kept.num_rows <= 20
