@@ -903,6 +903,25 @@ def _q_transcripts_quality(sf_dir: str):
     return out.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
 
 
+def _q_events_distinct_users_hll(sf_dir: str):
+    """HLL approximate distinct users next to the exact count — the sketch
+    answers with one 4 KiB state instead of the one-row-per-distinct-value
+    exchange exact COUNT(DISTINCT) pays; the row self-quantifies the error
+    (~1.6% expected at p=12). no_oracle: an approximation cannot hash-match
+    SQL; the exact column doubles as the in-row oracle."""
+    import pandas as pd
+
+    from chinese_corpus_cleaning_ray.functions.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = _read(sf_dir, "events", columns=["user_id"]).unique("user_id")
+    return pd.DataFrame({"hll_estimate": [round(est, 2)],
+                         "exact_distinct": [len(exact)],
+                         "rel_error": [round(abs(est - len(exact))
+                                             / max(1, len(exact)), 4)]})
+
+
 def _q_transcripts_minhash_dedup(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.dedup_stage import make_row_key, minhash_dedup
 
@@ -2132,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
     }
 
 

@@ -712,3 +712,41 @@ def test_cli_packchunks_and_mixture(tmp_path):
     kept = pq.read_table(str(tmp_path / "mx"))
     assert set(kept.column("source").to_pylist()) == {"wiki"}
     assert 0 < kept.num_rows <= 20
+
+
+class TestHLLSketch:
+    """approx_distinct: HLL cardinality sketch — accuracy within the
+    published error bound, layout-invariant determinism, int + string."""
+
+    def test_accuracy_and_determinism(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.sketches import approx_distinct
+
+        n = 50_000
+        t = pa.table({"v": pa.array(
+            [i % 20_000 for i in range(n)], pa.int64())})
+        est1 = approx_distinct(ray.data.from_arrow(t), "v")
+        est2 = approx_distinct(ray.data.from_arrow(t).repartition(9), "v")
+        assert est1 == est2  # order-free max + stable hash -> bit-identical
+        assert abs(est1 - 20_000) / 20_000 < 0.05  # ~3 sigma at p=12
+
+    def test_strings_and_small_range(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.sketches import approx_distinct
+
+        t = pa.table({"s": pa.array([f"src{i % 37}" for i in range(5000)])})
+        est = approx_distinct(ray.data.from_arrow(t), "s")
+        # linear-counting branch: tiny cardinalities come back near-exact
+        assert abs(est - 37) < 2
+
+    def test_p_guard(self, ray_session):
+        import pytest
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.sketches import approx_distinct
+
+        t = pa.table({"v": pa.array([1, 2], pa.int64())})
+        with pytest.raises(ValueError):
+            approx_distinct(ray.data.from_arrow(t), "v", p=2)
