@@ -750,3 +750,55 @@ class TestHLLSketch:
         t = pa.table({"v": pa.array([1, 2], pa.int64())})
         with pytest.raises(ValueError):
             approx_distinct(ray.data.from_arrow(t), "v", p=2)
+
+
+def test_round5_ops_hot_key_skew(ray_session):
+    """Skew stress: one user owns 90% of events / one source owns 90% of
+    docs — results must equal the uniform-layout run (correctness under
+    skew; perf degradation is bounded by one shard)."""
+    import pandas as pd
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        funnel_depths,
+        retention_cohorts,
+    )
+    from chinese_corpus_cleaning_ray.stages.analysis import mixture_sample
+
+    n = 2000
+    uid = [7] * (n * 9 // 10) + list(range(100, 100 + n // 10))
+    ts = [pd.Timestamp(i * 13, unit="s") for i in range(len(uid))]
+    et = [("view", "click", "purchase", "error")[i % 4]
+          for i in range(len(uid))]
+    ev = pa.table({"user_id": pa.array(uid, pa.int64()),
+                   "ts": pa.array(ts, pa.timestamp("us")),
+                   "event_type": pa.array(et)})
+    a = (funnel_depths(ray.data.from_arrow(ev), ["view", "click", "purchase"],
+                       shards=4).to_pandas()
+         .sort_values("user_id").reset_index(drop=True))
+    b = (funnel_depths(ray.data.from_arrow(ev).repartition(11),
+                       ["view", "click", "purchase"], shards=128)
+         .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert a.astype("int64").equals(b.astype("int64"))
+    assert int(a.loc[a.user_id == 7, "funnel_depth"].iloc[0]) == 3
+
+    r1 = (retention_cohorts(ray.data.from_arrow(ev), shards=4).to_pandas()
+          .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True))
+    r2 = (retention_cohorts(ray.data.from_arrow(ev).repartition(11),
+                            shards=128).to_pandas()
+          .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True))
+    assert r1.astype("int64").equals(r2.astype("int64"))
+
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["hot"] * (n * 9 // 10)
+                           + ["cold"] * (n - n * 9 // 10)),
+        "text": pa.array(["样例文本内容" * 3] * n),
+    })
+    m1 = mixture_sample(ray.data.from_arrow(docs), "source", "doc_id",
+                        {"hot": 1, "cold": 1}, 5000).to_pandas()
+    m2 = mixture_sample(ray.data.from_arrow(docs).repartition(13), "source",
+                        "doc_id", {"hot": 1, "cold": 1}, 5000).to_pandas()
+    assert sorted(m1.doc_id) == sorted(m2.doc_id)
+    # hot source mass >> quota -> sampled down; cold near/over quota
+    assert 0 < (m1.source == "hot").sum() < n * 9 // 10
