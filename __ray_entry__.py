@@ -1141,6 +1141,17 @@ def _q_doc_char_rank(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_events_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy hitters over user_id (cnt*125 > n): per-batch
+    Misra-Gries-style candidate superset -> broadcast exact recount.
+    Shuffle volume O(k x batches), never O(distinct users)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=125).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -2115,7 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget": _q_doc_token_budget,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
-        "doc_length_quantiles": _q_doc_length_quantiles,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_repetition_signals": _q_doc_repetition_signals,
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
@@ -2128,6 +2139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_train_val_split": _q_doc_train_val_split,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "event_type_counts": _q_event_type_counts,
         "doc_distinct_sources": _q_doc_distinct_sources,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -2197,6 +2209,14 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, COUNT(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, COUNT(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events
+                                     WHERE user_id IS NOT NULL)
+            ORDER BY cnt DESC, user_id
         """,
         "events_topk_per_type": """
             WITH c AS (

@@ -1186,3 +1186,78 @@ def rank_by_value(ds, col: str, out_col: str = "rank_lt",
         return batch.append_column(out_col, pa.array(rk[idx], pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, col: str, k: int, max_candidates: int = 2_000_000):
+    """Exact phi-heavy hitters: every value of ``col`` whose global count
+    satisfies ``cnt * k > n`` (frequency strictly above ``n/k``), with its
+    EXACT count — two streaming passes, no full-cardinality shuffle.
+
+    Pass 1 (candidates): inside each batch, an Arrow ``group_by`` count keeps
+    only values with batch-local count strictly above ``n_b/(k+1)`` — at most
+    ``k`` values per batch. By averaging, any globally heavy value must be
+    batch-heavy (count_b > n_b/k > n_b/(k+1)) in at least one batch, so the
+    union of batch candidates is a SUPERSET of the answer (the frequent-items
+    guarantee of a Misra-Gries summary, realised with exact batch-local
+    counts instead of the sequential k-counter sweep — a batch already fits
+    in memory, so the vectorized kernel wins). Each batch also emits one
+    null-valued sentinel row carrying ``n_b``, so ``n`` needs no extra pass.
+
+    Pass 2 (exact recount): the candidate set is broadcast once via
+    ``ray.put``; each batch emits partial counts for candidate values only,
+    and a groupby-sum over <= |C| distinct rows yields exact global counts.
+    The driver holds only the candidate set (guarded by ``max_candidates``
+    — raises, never truncates) and the final <= k result rows; at 100 TB the
+    shuffle volume is O(k x batches), never O(distinct values).
+
+    Nulls in ``col`` are ignored (restate with ``WHERE col IS NOT NULL``).
+    Returns an Arrow table (value-typed ``col``, int64 ``cnt``) sorted by
+    ``cnt`` desc then ``col`` asc. ``ds`` is consumed twice.
+    """
+    import numpy as np
+    import ray
+
+    sch = ds.schema()
+    val_type = sch.base_schema.field(col).type
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vals = batch.select([col]).drop_null()
+        n_b = vals.num_rows
+        g = vals.group_by(col).aggregate([([], "count_all")])
+        cnt = g.column("count_all").to_numpy(zero_copy_only=False)
+        keep = g.filter(pa.array(cnt * (k + 1) > n_b)).column(col)
+        return pa.table({
+            col: pa.concat_arrays([keep.combine_chunks(),
+                                   pa.array([None], val_type)]),
+            "n_b": pa.array([0] * len(keep) + [n_b], pa.int64()),
+        })
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    n = sum(r["n_b"] for r in rows if r[col] is None)
+    cand = {r[col] for r in rows if r[col] is not None}
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {len(cand)} candidates exceeds "
+            f"max_candidates={max_candidates}; raise k's quality or shard."
+        )
+    if not cand or n == 0:
+        return pa.table({col: pa.array([], val_type),
+                         "cnt": pa.array([], pa.int64())})
+    cand_arr = pa.array(sorted(cand), val_type)
+    cand_ref = ray.put(cand_arr)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cset = ray.get(cand_ref)
+        vals = batch.select([col]).drop_null()
+        hit = vals.filter(pc.is_in(vals.column(col), value_set=cset))
+        g = hit.group_by(col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "cnt"])
+
+    totals = (ds.map_batches(recount, batch_format="pyarrow")
+              .groupby(col).sum("cnt").take_all())
+    keep = [(r[col], int(r["sum(cnt)"])) for r in totals
+            if r["sum(cnt)"] * k > n]
+    keep.sort(key=lambda t: (-t[1], t[0]))
+    return pa.table({col: pa.array([t[0] for t in keep], val_type),
+                     "cnt": pa.array([t[1] for t in keep], pa.int64())})

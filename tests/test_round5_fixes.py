@@ -802,3 +802,57 @@ def test_round5_ops_hot_key_skew(ray_session):
     assert sorted(m1.doc_id) == sorted(m2.doc_id)
     # hot source mass >> quota -> sampled down; cold near/over quota
     assert 0 < (m1.source == "hot").sum() < n * 9 // 10
+
+
+class TestHeavyHitters:
+    """Exact phi-heavy hitters (candidate superset -> exact recount)."""
+
+    def test_matches_exact_counts_planted(self, ray_session):
+        import collections
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        # zipf-ish: a few hot values, a long uniform tail, plus nulls
+        vals = ([11] * 400 + [22] * 250 + [33] * 101
+                + list(rng.integers(1000, 3000, size=249)))
+        rng.shuffle(vals)
+        arr = pa.array(vals, pa.int64())
+        t = pa.table({"v": pa.concat_arrays(
+            [arr, pa.array([None, None], pa.int64())])})
+        n = 1000  # non-null rows
+        for k in (3, 9, 50):
+            got = heavy_hitters(
+                ray.data.from_arrow(t).repartition(7), "v", k).to_pandas()
+            exact = collections.Counter(vals)
+            want = sorted(((v, c) for v, c in exact.items() if c * k > n),
+                          key=lambda x: (-x[1], x[0]))
+            assert list(map(tuple, got.itertuples(index=False))) == want
+
+    def test_threshold_is_strict_and_layout_invariant(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import heavy_hitters
+
+        # 4 values x 25 each, k=4 -> cnt*4 > 100 is FALSE (strict) -> empty
+        t = pa.table({"v": pa.array([i % 4 for i in range(100)], pa.int64())})
+        assert heavy_hitters(ray.data.from_arrow(t), "v", 4).num_rows == 0
+        # 3 values -> all pass at k=4; identical across block layouts
+        t3 = pa.table({"v": pa.array([i % 3 for i in range(99)], pa.int64())})
+        a = heavy_hitters(ray.data.from_arrow(t3), "v", 4).to_pandas()
+        b = heavy_hitters(ray.data.from_arrow(t3).repartition(13),
+                          "v", 4).to_pandas()
+        assert a.equals(b) and len(a) == 3
+
+    def test_string_column_and_guard(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import heavy_hitters
+
+        t = pa.table({"s": pa.array(["热词"] * 60 + [f"尾{i}" for i in range(40)])})
+        got = heavy_hitters(ray.data.from_arrow(t), "s", 2).to_pandas()
+        assert list(got.s) == ["热词"] and list(got.cnt) == [60]
+        with pytest.raises(ValueError):
+            # k=200 -> every singleton is a candidate (1*(k+1) > 100)
+            heavy_hitters(ray.data.from_arrow(t), "s", 200, max_candidates=1)
