@@ -1152,6 +1152,23 @@ def _q_events_heavy_hitters(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_doc_substring_dedup(sf_dir: str):
+    """Cross-document duplicated-substring mass (Lee et al. substring dedup
+    at window granularity): per-doc union of 30-char windows occurring in
+    >= 2 distinct docs, merged to maximal spans. Hash-candidate ->
+    string-verified (exact), shuffle carries 8-byte hashes not text."""
+    from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+        duplicated_window_spans,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicated_window_spans(ds, "doc_id", "text", window=30,
+                                  min_docs=2).to_pandas()
+    for c in ("doc_id", "dup_chars", "n_spans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -2134,12 +2151,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_url_parts": _q_doc_url_parts,
-        "doc_shuffle": _q_doc_shuffle,
+        "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_train_val_split": _q_doc_train_val_split,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_shuffle": _q_doc_shuffle,
         "event_type_counts": _q_event_type_counts,
         "doc_distinct_sources": _q_doc_distinct_sources,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -2209,6 +2227,31 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, COUNT(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_substring_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, length(text) - 29)) AS off,
+                       text
+                FROM documents WHERE length(text) >= 30),
+            w2 AS (SELECT doc_id, off, substr(text, off, 30) AS win FROM w),
+            dup AS (SELECT win FROM w2 GROUP BY win
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            cand AS (SELECT doc_id, off FROM w2
+                     WHERE win IN (SELECT win FROM dup)),
+            isl AS (SELECT doc_id, off,
+                    CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id
+                                                   ORDER BY off) <= 29
+                         THEN 0 ELSE 1 END AS brk FROM cand),
+            grp AS (SELECT doc_id, off, SUM(brk) OVER (PARTITION BY doc_id
+                        ORDER BY off) AS g FROM isl),
+            spans AS (SELECT doc_id, g, MIN(off) AS s, MAX(off) + 29 AS e
+                      FROM grp GROUP BY doc_id, g)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS dup_chars,
+                   CAST(COUNT(s.s) AS BIGINT) AS n_spans
+            FROM documents d LEFT JOIN spans s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "events_heavy_hitters": """
             SELECT user_id, COUNT(*) AS cnt
