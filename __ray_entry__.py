@@ -1152,6 +1152,20 @@ def _q_events_heavy_hitters(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_events_value_quantile_sketch(sf_dir: str):
+    """Mergeable fixed-width-bucket quantile sketch over events.value:
+    bounded state (one count per occupied bucket), estimate = lower edge of
+    the bucket holding the ceil(q*n)-th value. Deterministic integer/IEEE
+    math -> bit-exact SQL restatement; |est - exact| <= width by
+    construction (pinned in pytest)."""
+    from chinese_corpus_cleaning_ray.functions.sketches import bucket_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    out = bucket_quantiles(ds, "value", qs=(0.25, 0.5, 0.9, 0.99),
+                           width=1.0).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def _q_doc_substring_dedup(sf_dir: str):
     """Cross-document duplicated-substring mass (Lee et al. substring dedup
     at window granularity): per-doc union of 30-char windows occurring in
@@ -2154,10 +2168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
-        "doc_train_val_split": _q_doc_train_val_split,
+        "events_value_quantile_sketch": _q_events_value_quantile_sketch,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_shuffle": _q_doc_shuffle,
+        "doc_train_val_split": _q_doc_train_val_split,
         "event_type_counts": _q_event_type_counts,
         "doc_distinct_sources": _q_doc_distinct_sources,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -2227,6 +2242,19 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, COUNT(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_value_quantile_sketch": """
+            WITH b AS (SELECT CAST(FLOOR(value / 1.0) AS BIGINT) AS bk,
+                              COUNT(*) AS c
+                       FROM events WHERE value IS NOT NULL GROUP BY bk),
+            t AS (SELECT bk, SUM(c) OVER (ORDER BY bk) AS cum FROM b),
+            tot AS (SELECT COUNT(value) AS n FROM events),
+            qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.99))
+                   AS v(q))
+            SELECT CAST(q AS DOUBLE) AS q,
+                   (SELECT CAST(MIN(bk) AS DOUBLE) FROM t, tot
+                    WHERE cum >= GREATEST(CEIL(q * tot.n), 1)) * 1.0 AS est
+            FROM qs ORDER BY q
         """,
         "doc_substring_dedup": """
             WITH w AS (

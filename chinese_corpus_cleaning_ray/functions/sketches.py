@@ -95,3 +95,57 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     )
     row = ds.aggregate(agg)
     return float(row["hll"]) if row is not None else 0.0
+
+
+def bucket_quantiles(ds, col: str, qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                     width: float = 1.0, max_buckets: int = 2_000_000):
+    """Mergeable fixed-width-bucket quantile sketch: one streaming pass of
+    per-batch bucket counts (``bucket = floor(v / width)``) -> a groupby-sum
+    over <= one row per occupied bucket -> a driver-side CDF. The estimate
+    for quantile ``q`` is the LOWER EDGE (``bucket * width``) of the bucket
+    holding the ``ceil(q * n)``-th smallest non-null value, so the value
+    error is bounded by ``width`` — the bounded-universe cousin of a KLL/
+    t-digest sketch, chosen because it is DETERMINISTIC and bit-exactly
+    restatable in SQL (floor of an IEEE double division is the same number
+    in numpy and DuckDB; no interpolation, no randomized compaction).
+
+    Unlike ``analysis.quantile_filter``'s exact distinct-value CDF (right
+    answer when the column is already quantized), this stays bounded on
+    continuous columns with unbounded distinct values: state is one int64
+    count per OCCUPIED bucket, merged associatively, never one row per
+    distinct value. ``max_buckets`` guards the driver pull (raises, never
+    truncates). Nulls are ignored. Returns an Arrow table (q double,
+    est double) in ``qs`` order; empty input yields null estimates.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive; got {width}")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+        bk = np.floor(v.astype(np.float64) / width).astype(np.int64)
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table({"bk": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("bk").sum("c").take_all())
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"bucket_quantiles: {len(rows)} occupied buckets exceeds "
+            f"max_buckets={max_buckets}; widen `width`."
+        )
+    qs_arr = pa.array([float(q) for q in qs], pa.float64())
+    if not rows:
+        return pa.table({"q": qs_arr,
+                         "est": pa.array([None] * len(qs), pa.float64())})
+    bks = np.array(sorted(r["bk"] for r in rows), np.int64)
+    counts = {r["bk"]: int(r["sum(c)"]) for r in rows}
+    cum = np.cumsum([counts[b] for b in bks])
+    n = int(cum[-1])
+    ests = []
+    for q in qs:
+        r = int(np.ceil(float(q) * n))
+        r = max(r, 1)
+        idx = int(np.searchsorted(cum, r))
+        ests.append(float(bks[min(idx, len(bks) - 1)]) * width)
+    return pa.table({"q": qs_arr, "est": pa.array(ests, pa.float64())})

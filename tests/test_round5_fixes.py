@@ -856,3 +856,52 @@ class TestHeavyHitters:
         with pytest.raises(ValueError):
             # k=200 -> every singleton is a candidate (1*(k+1) > 100)
             heavy_hitters(ray.data.from_arrow(t), "s", 200, max_candidates=1)
+
+
+class TestBucketQuantiles:
+    """Mergeable fixed-width-bucket quantile sketch (functions/sketches.py)."""
+
+    def test_error_bound_and_determinism(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.sketches import (
+            bucket_quantiles,
+        )
+
+        rng = np.random.default_rng(3)
+        v = rng.exponential(50.0, size=20_000)
+        t = pa.table({"value": pa.array(v, pa.float64())})
+        for w in (0.5, 2.0):
+            got = bucket_quantiles(ray.data.from_arrow(t), "value",
+                                   qs=(0.1, 0.5, 0.9, 0.99),
+                                   width=w).to_pandas()
+            for q, est in zip(got.q, got.est):
+                exact = np.quantile(v, q)
+                # estimate is the lower edge of the bucket holding the
+                # ceil(q*n)-th value -> within one bucket of the exact value
+                assert abs(est - exact) <= w, (q, est, exact)
+            # bit-identical across layouts
+            again = bucket_quantiles(ray.data.from_arrow(t).repartition(17),
+                                     "value", qs=(0.1, 0.5, 0.9, 0.99),
+                                     width=w).to_pandas()
+            assert got.equals(again)
+
+    def test_nulls_empty_and_guards(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.sketches import (
+            bucket_quantiles,
+        )
+
+        t = pa.table({"value": pa.array([None, 5.0, None, 7.0], pa.float64())})
+        got = bucket_quantiles(ray.data.from_arrow(t), "value",
+                               qs=(0.5,), width=1.0).to_pandas()
+        assert list(got.est) == [5.0]  # nulls ignored; n=2, ceil(1)=1 -> 5.0
+        e = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+        assert bucket_quantiles(e, "value").to_pandas().est.isna().all()
+        with pytest.raises(ValueError):
+            bucket_quantiles(ray.data.from_arrow(t), "value", width=0.0)
+        big = pa.table({"value": pa.array(np.arange(100, dtype=np.float64))})
+        with pytest.raises(ValueError):
+            bucket_quantiles(ray.data.from_arrow(big), "value", width=0.5,
+                             max_buckets=10)
