@@ -2579,10 +2579,10 @@ def oracle_sql() -> dict[str, str]:
                    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
                    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
             SELECT u.user_id,
-                   CASE WHEN s3.t IS NOT NULL THEN 3
-                        WHEN s2.t IS NOT NULL THEN 2
-                        WHEN s1.t IS NOT NULL THEN 1
-                        ELSE 0 END AS funnel_depth
+                   CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                             WHEN s2.t IS NOT NULL THEN 2
+                             WHEN s1.t IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_depth
             FROM (SELECT DISTINCT user_id FROM events
                   WHERE event_type IN ('view', 'click', 'purchase')) u
             LEFT JOIN s1 USING (user_id)

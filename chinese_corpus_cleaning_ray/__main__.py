@@ -175,6 +175,18 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--budget-tokens", type=int, required=True)
     mx.add_argument("--num-cpus", type=int, default=None)
 
+    sd = sub.add_parser("subdedup")
+    sd.add_argument("--input", required=True, help="parquet with id+text")
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--window", type=int, default=30,
+                    help="duplicated-substring window length (chars)")
+    sd.add_argument("--min-docs", type=int, default=2)
+    sd.add_argument("--report-only", action="store_true",
+                    help="write (id, dup_chars, n_spans) instead of cutting")
+    sd.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -343,6 +355,35 @@ def main(argv: list[str] | None = None) -> int:
                 batch_format="pyarrow").sum("n") or 0)
             print(json.dumps({"docs_in": n_in, "docs_out": out.count(),
                               "chars_out": chars_out, "output": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "subdedup":
+        # cross-document duplicated-substring scrub (Lee-et-al-style window
+        # dedup, stages/substring_dedup.py): cuts every span covered by a
+        # window occurring in >= min_docs distinct docs, or reports the mass
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+                duplicated_window_spans,
+                scrub_duplicated_windows,
+            )
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.text_col])
+            fn = (duplicated_window_spans if args.report_only
+                  else scrub_duplicated_windows)
+            out = fn(ds, id_col=args.id_col, text_col=args.text_col,
+                     window=args.window, min_docs=args.min_docs).materialize()
+            out.write_parquet(args.output)
+            removed = int(out.sum("dup_chars") or 0)
+            print(json.dumps({"rows": out.count(), "dup_chars": removed,
+                              "window": args.window, "min_docs": args.min_docs,
+                              "output": args.output}))
             return 0
         finally:
             if owned:
