@@ -92,7 +92,8 @@ def run_bench() -> dict:
                      "doc_paragraph_dedup", "doc_paragraph_dedup_keeper",
                      "doc_duplicate_components", "doc_pii_redact",
                      "doc_shuffle", "doc_keywords", "events_asof_join",
-                     "events_range_join"):
+                     "events_range_join", "doc_substring_dedup",
+                     "events_heavy_hitters", "events_value_quantile_sketch"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

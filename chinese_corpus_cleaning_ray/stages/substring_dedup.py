@@ -115,6 +115,8 @@ def _unique_doc_hash_rows(batch: pa.Table, id_col: str, text_col: str,
     downstream ``groupby(h).count()`` therefore counts distinct documents."""
     texts = batch.column(text_col).to_pylist()
     doc_idx, _, h = _window_hashes(texts, window)
+    if len(h) == 0:
+        return pa.table({"h": pa.array([], pa.int64())})
     # unique (doc, h): sort by (doc, h) then drop equal neighbours
     order = np.lexsort((h, doc_idx))
     d, hh = doc_idx[order], h[order]
@@ -122,21 +124,39 @@ def _unique_doc_hash_rows(batch: pa.Table, id_col: str, text_col: str,
     return pa.table({"h": pa.array(hh[keep].astype(np.int64), pa.int64())})
 
 
+_SHARD_MASK = 255  # 256 coarse shards — a partition knob, not a key space
+
+
 def _dup_hash_ds(ds, id_col: str, text_col: str, window: int, min_docs: int):
-    """Distinct-document window frequency -> Dataset of duplicated hashes."""
+    """Distinct-document window frequency -> Dataset of duplicated hashes.
+
+    Shape: per-batch partial counts (one (h, c) row per distinct hash in
+    the batch, c = distinct docs — the combiner) -> ONE coarse-shard
+    groupby (h & 255, never one Ray group per hash) -> vectorized
+    per-shard sum + threshold. Same plan as ``paragraph_dedup``'s count
+    pass; Ray's per-key sorted aggregate over millions of single-row
+    hash keys is ~10x slower at this shape."""
     def postings(batch: pa.Table) -> pa.Table:
-        return _unique_doc_hash_rows(batch, id_col, text_col, window)
+        t = _unique_doc_hash_rows(batch, id_col, text_col, window)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u, pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+            "__shard": pa.array((u & _SHARD_MASK).astype(np.int32)),
+        })
 
-    from ray.data.aggregate import Count
+    def count_shard(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(h, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"h": pa.array(u[tot >= min_docs], pa.int64())})
 
-    counts = (ds.map_batches(postings, batch_format="pyarrow")
-              .groupby("h").aggregate(Count(alias_name="n")))
-
-    def thresh(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(n >= min_docs)).select(["h"])
-
-    return counts.map_batches(thresh, batch_format="pyarrow")
+    return (ds.map_batches(postings, batch_format="pyarrow")
+            .groupby("__shard").map_groups(count_shard,
+                                           batch_format="pyarrow"))
 
 
 def _broadcast_hash_set(duph_ds, broadcast_limit: int):
@@ -190,15 +210,27 @@ def _verified_hash_ds(ds, duph_mode, id_col: str, text_col: str,
         cand = _joined_candidate_wins(ds, ref, id_col, text_col, window,
                                       shards)
 
-    from ray.data.aggregate import Count
+    # same coarse-shard count plan as _dup_hash_ds, keyed on the string
+    def win_partials(batch: pa.Table) -> pa.Table:
+        w = batch.column("win").to_numpy(zero_copy_only=False)
+        u, c = np.unique(w, return_counts=True)
+        sh = (pd.util.hash_array(u).astype(np.int64)
+              & _SHARD_MASK).astype(np.int32)
+        return pa.table({"win": pa.array(u, pa.string()),
+                         "c": pa.array(c.astype(np.int64), pa.int64()),
+                         "__shard": pa.array(sh)})
 
-    win_counts = cand.groupby("win").aggregate(Count(alias_name="n"))
+    def win_count_shard(group: pa.Table) -> pa.Table:
+        w = group.column("win").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(w, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"win": pa.array(u[tot >= min_docs], pa.string())})
 
-    def thresh(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(n >= min_docs)).select(["win"])
-
-    verified_wins = win_counts.map_batches(thresh, batch_format="pyarrow")
+    verified_wins = (cand.map_batches(win_partials, batch_format="pyarrow")
+                     .groupby("__shard").map_groups(win_count_shard,
+                                                    batch_format="pyarrow"))
 
     def rehash(batch: pa.Table) -> pa.Table:
         wins = batch.column("win").to_pylist()
