@@ -1183,6 +1183,35 @@ def _q_doc_substring_dedup(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_incremental_substring(sf_dir: str):
+    """Cross-RUN substring dedup: per fresh doc (doc_id % 3 != 0), the mass
+    of 30-char windows already present anywhere in the committed corpus
+    (doc_id % 3 == 0). String-verified via a two-sided candidate
+    intersection; the seen corpus ships one 8-byte hash per distinct
+    window, never its text."""
+    from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+        incremental_substring_scrub,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod3(keep_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if keep_zero else (ids % 3 != 0)
+            return batch.filter(pa.array(m))
+        return fn
+
+    fresh = ds.map_batches(_mod3(False), batch_format="pyarrow")
+    seen = ds.map_batches(_mod3(True), batch_format="pyarrow")
+    out = incremental_substring_scrub(fresh, seen, "doc_id", "text",
+                                      window=30,
+                                      report_only=True).to_pandas()
+    for c in ("doc_id", "dup_chars", "n_spans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -2150,7 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
-        "doc_sample": _q_doc_sample,
+        "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_contamination": _q_doc_contamination,
         "doc_char_rank": _q_doc_char_rank,
@@ -2171,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantile_sketch": _q_events_value_quantile_sketch,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_sample": _q_doc_sample,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
         "event_type_counts": _q_event_type_counts,
@@ -2279,6 +2309,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS dup_chars,
                    CAST(COUNT(s.s) AS BIGINT) AS n_spans
             FROM documents d LEFT JOIN spans s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "doc_incremental_substring": """
+            WITH fresh AS (SELECT doc_id, text FROM documents
+                           WHERE doc_id % 3 <> 0),
+            seen AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+            fw AS (SELECT doc_id,
+                          unnest(generate_series(1, length(text) - 29))
+                              AS off,
+                          text
+                   FROM fresh WHERE length(text) >= 30),
+            fw2 AS (SELECT doc_id, off, substr(text, off, 30) AS win
+                    FROM fw),
+            sw0 AS (SELECT unnest(generate_series(1, length(text) - 29))
+                               AS off,
+                           text
+                    FROM seen WHERE length(text) >= 30),
+            sw AS (SELECT DISTINCT substr(text, off, 30) AS win FROM sw0),
+            cand AS (SELECT doc_id, off FROM fw2
+                     WHERE win IN (SELECT win FROM sw)),
+            isl AS (SELECT doc_id, off,
+                    CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id
+                                                   ORDER BY off) <= 29
+                         THEN 0 ELSE 1 END AS brk FROM cand),
+            grp AS (SELECT doc_id, off, SUM(brk) OVER (PARTITION BY doc_id
+                        ORDER BY off) AS g FROM isl),
+            spans AS (SELECT doc_id, g, MIN(off) AS s, MAX(off) + 29 AS e
+                      FROM grp GROUP BY doc_id, g)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS dup_chars,
+                   CAST(COUNT(s.s) AS BIGINT) AS n_spans
+            FROM fresh d LEFT JOIN spans s ON d.doc_id = s.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "events_heavy_hitters": """

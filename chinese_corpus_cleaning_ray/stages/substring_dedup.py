@@ -362,7 +362,14 @@ def duplicated_window_spans(ds, id_col: str = "doc_id",
 
     vh = _verified_hash_ds(ds, mode, id_col, text_col, window, min_docs,
                            shards)
-    if mode[0] == "broadcast":
+    return _finalize_spans(ds, vh, mode[0], id_col, text_col, window, shards)
+
+
+def _finalize_spans(ds, vh, kind: str, id_col: str, text_col: str,
+                    window: int, shards: int | None):
+    """Last pass: verified dup-hash Dataset -> (id, dup_chars, n_spans) for
+    every document (zeros included)."""
+    if kind == "broadcast":
         import ray
 
         vmode = _broadcast_hash_set(vh, np.iinfo(np.int64).max)
@@ -431,10 +438,16 @@ def scrub_duplicated_windows(ds, id_col: str = "doc_id",
             else np.iinfo(np.int64).max)
     vh = _verified_hash_ds(ds, mode, id_col, text_col, window, min_docs,
                            shards)
+    return _finalize_cut(ds, vh, mode[0], id_col, text_col, window, shards)
 
+
+def _finalize_cut(ds, vh, kind: str, id_col: str, text_col: str,
+                  window: int, shards: int | None):
+    """Last pass: verified dup-hash Dataset -> ds with the merged spans cut
+    out of ``text_col`` and a ``dup_chars`` column appended."""
     import ray
 
-    if mode[0] == "broadcast":
+    if kind == "broadcast":
         vref = _broadcast_hash_set(vh, np.iinfo(np.int64).max)[1]
 
         def cut_batch(batch: pa.Table) -> pa.Table:
@@ -487,3 +500,149 @@ def scrub_duplicated_windows(ds, id_col: str = "doc_id",
             df.drop(columns=["span_s", "span_e"]), preserve_index=False)
 
     return joined.map_batches(cut_joined, batch_format="pyarrow")
+
+
+def _distinct_window_hash_ds(ds, text_col: str, window: int):
+    """Distinct window hashes of a corpus (no per-doc bookkeeping): per-batch
+    np.unique partials -> one coarse-shard groupby -> per-shard unique."""
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        _, _, h = _window_hashes(texts, window)
+        u = np.unique(h).astype(np.int64)
+        return pa.table({
+            "h": pa.array(u, pa.int64()),
+            "__shard": pa.array((u & _SHARD_MASK).astype(np.int32)),
+        })
+
+    def uniq_shard(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
+
+    return (ds.map_batches(postings, batch_format="pyarrow")
+            .groupby("__shard").map_groups(uniq_shard,
+                                           batch_format="pyarrow"))
+
+
+def _candidate_wins_ds(ds, mode_kind, ref_or_ds, id_col: str, text_col: str,
+                       window: int, shards: int | None):
+    """Distinct candidate window strings of ``ds`` whose hash is in the
+    given membership structure (broadcast ref or join-side Dataset)."""
+    if mode_kind == "broadcast":
+        import ray
+
+        def cand_wins(batch: pa.Table) -> pa.Table:
+            hset = ray.get(ref_or_ds)
+            texts = batch.column(text_col).to_pylist()
+            doc_idx, off, h = _window_hashes(texts, window)
+            m = _in_sorted(hset, h)
+            if not m.any():
+                return pa.table({"win": pa.array([], pa.string())})
+            wins = {texts[d][o:o + window]
+                    for d, o in zip(doc_idx[m], off[m])}
+            return pa.table({"win": pa.array(sorted(wins), pa.string())})
+
+        return ds.map_batches(cand_wins, batch_format="pyarrow")
+    return _joined_candidate_wins(ds, ref_or_ds, id_col, text_col, window,
+                                  shards)
+
+
+def incremental_substring_scrub(fresh, seen, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                seen_id_col: str | None = None,
+                                seen_text_col: str | None = None,
+                                window: int = 30, strategy: str = "auto",
+                                broadcast_limit: int = 2_000_000,
+                                shards: int | None = None,
+                                report_only: bool = False):
+    """Cross-RUN substring dedup: cut from every ``fresh`` document each
+    character span covered by a ``window``-length substring that occurs
+    ANYWHERE in the committed ``seen`` corpus — the incremental companion of
+    ``scrub_duplicated_windows``, mirroring how ``incremental_dedup``
+    extends ``exact_dedup`` (new data must not repeat what an earlier run
+    already shipped, at substring granularity).
+
+    Exactness: hash membership flags a candidate SUPERSET; the candidate
+    window strings of BOTH sides then meet in one coarse-shard groupby and
+    only strings present on both sides survive (string-exact, collision-
+    free by construction). The seen corpus contributes one 8-byte hash per
+    distinct window plus the candidate strings — its text never ships in
+    full. ``report_only=True`` returns ``(id_col, dup_chars, n_spans)`` per
+    fresh doc instead of cutting.
+    """
+    seen_id = seen_id_col or id_col
+    seen_text = seen_text_col or text_col
+    seenh = _distinct_window_hash_ds(seen, seen_text, window)
+    if strategy == "auto":
+        kind, ref, _ = _broadcast_hash_set(seenh, broadcast_limit)
+    elif strategy == "broadcast":
+        kind, ref, _ = _broadcast_hash_set(seenh, np.iinfo(np.int64).max)
+    elif strategy == "join":
+        kind, ref = "join", seenh.materialize()
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # verify: candidate strings from both sides meet per content shard;
+    # survivors occur on BOTH sides — the exact cross-corpus window set.
+    # The fresh side's candidates answer "which of MY windows hash-hit the
+    # seen set"; the seen side's candidates need the reverse membership, so
+    # broadcast mode first collects the fresh candidates' hash set.
+    fresh_cand = _candidate_wins_ds(fresh, kind, ref, id_col, text_col,
+                                    window, shards)
+
+    def rehash(batch: pa.Table) -> pa.Table:
+        wins = batch.column("win").to_pylist()
+        h = _hash_of_windows(wins, window)
+        return pa.table({
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "__shard": pa.array((h % np.uint64(_SHARD_MASK + 1))
+                                .astype(np.int32)),
+        })
+
+    if kind == "broadcast":
+        fkind, fref, _ = _broadcast_hash_set(
+            fresh_cand.map_batches(rehash, batch_format="pyarrow")
+            .drop_columns(["__shard"]), np.iinfo(np.int64).max)
+        seen_cand = _candidate_wins_ds(seen, "broadcast", fref, seen_id,
+                                       seen_text, window, shards)
+    else:
+        fh = (fresh_cand.map_batches(rehash, batch_format="pyarrow")
+              .drop_columns(["__shard"]).materialize())
+        seen_cand = _candidate_wins_ds(seen, "join", fh, seen_id, seen_text,
+                                       window, shards)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            w = batch.column("win").to_numpy(zero_copy_only=False)
+            sh = (pd.util.hash_array(w).astype(np.int64)
+                  & _SHARD_MASK).astype(np.int32)
+            return pa.table({
+                "win": batch.column("win"),
+                "__shard": pa.array(sh),
+                "__side": pa.array(np.full(len(w), side, np.int8)),
+            })
+        return fn
+
+    both = (fresh_cand.map_batches(tag(0), batch_format="pyarrow")
+            .union(seen_cand.map_batches(tag(1), batch_format="pyarrow")))
+
+    def intersect_shard(group: pa.Table) -> pa.Table:
+        w = group.column("win").to_numpy(zero_copy_only=False)
+        s = group.column("__side").to_numpy(zero_copy_only=False)
+        on_fresh = np.unique(w[s == 0])
+        on_seen = np.unique(w[s == 1])
+        keep = np.intersect1d(on_fresh, on_seen)
+        return pa.table({"win": pa.array(keep, pa.string())})
+
+    verified_wins = both.groupby("__shard").map_groups(
+        intersect_shard, batch_format="pyarrow")
+
+    def rehash_plain(batch: pa.Table) -> pa.Table:
+        wins = batch.column("win").to_pylist()
+        h = _hash_of_windows(wins, window)
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    vh = verified_wins.map_batches(rehash_plain, batch_format="pyarrow")
+    if report_only:
+        return _finalize_spans(fresh, vh, kind, id_col, text_col, window,
+                               shards)
+    return _finalize_cut(fresh, vh, kind, id_col, text_col, window, shards)

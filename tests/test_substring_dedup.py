@@ -141,3 +141,92 @@ class TestSpansAndScrub:
         got = duplicated_window_spans(ray.data.from_arrow(t), "doc_id",
                                       "text", window=30).to_pandas()
         assert len(got) == 0
+
+
+def naive_incremental(fresh: dict, seen: dict, L: int) -> dict:
+    wins = set()
+    for v in seen.values():
+        for i in range(len(v) - L + 1):
+            wins.add(v[i:i + L])
+    out = {}
+    for k, v in fresh.items():
+        mark = np.zeros(len(v), bool)
+        for i in range(len(v) - L + 1):
+            if v[i:i + L] in wins:
+                mark[i:i + L] = True
+        out[k] = ("".join(c for c, m in zip(v, mark) if not m),
+                  int(mark.sum()))
+    return out
+
+
+class TestIncrementalSubstringScrub:
+    """Cross-run substring dedup: fresh docs scrubbed of every window
+    already present in the committed corpus."""
+
+    @pytest.mark.parametrize("strategy", ["auto", "join"])
+    def test_cut_and_report_match_naive(self, ray_session, strategy):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+            incremental_substring_scrub,
+        )
+
+        seen_t = {10: "历史语料里的一段固定模板文字甲",
+                  11: "另一段历史内容模板文字乙",
+                  12: "纯粹的旧内容无关片段"}
+        fresh_t = {1: "新文档开头历史语料里的一段固定模板文字甲然后是新内容",
+                   2: "完全新的一篇文档没有旧的影子",
+                   3: "另一段历史内容模板文字乙"}
+        L = 6
+        want = naive_incremental(fresh_t, seen_t, L)
+        ft = pa.table({"doc_id": pa.array(list(fresh_t), pa.int64()),
+                       "text": pa.array(list(fresh_t.values()))})
+        st = pa.table({"doc_id": pa.array(list(seen_t), pa.int64()),
+                       "text": pa.array(list(seen_t.values()))})
+        got = incremental_substring_scrub(
+            ray.data.from_arrow(ft).repartition(2),
+            ray.data.from_arrow(st).repartition(2),
+            window=L, strategy=strategy, shards=4).to_pandas()
+        assert {r.doc_id: (r.text, r.dup_chars)
+                for r in got.itertuples()} == want
+        rep = incremental_substring_scrub(
+            ray.data.from_arrow(ft), ray.data.from_arrow(st), window=L,
+            strategy=strategy, shards=4, report_only=True).to_pandas()
+        assert dict(zip(rep.doc_id, rep.dup_chars)) == {
+            k: v[1] for k, v in want.items()}
+
+    def test_empty_seen_is_identity(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+            incremental_substring_scrub,
+        )
+
+        ft = pa.table({"doc_id": pa.array([1], pa.int64()),
+                       "text": pa.array(["六字以上的新文本啊"])})
+        st = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "text": pa.array([], pa.string())})
+        got = incremental_substring_scrub(
+            ray.data.from_arrow(ft), ray.data.from_arrow(st),
+            window=6).to_pandas()
+        assert list(got.text) == ["六字以上的新文本啊"]
+        assert list(got.dup_chars) == [0]
+
+    def test_fresh_repeats_do_not_self_trigger(self, ray_session):
+        """Windows repeated WITHIN fresh but absent from seen must survive —
+        the op is membership-vs-seen, not fresh-internal dedup."""
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+            incremental_substring_scrub,
+        )
+
+        ft = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                       "text": pa.array(["新的重复片段呀新的重复片段呀",
+                                         "新的重复片段呀完全另一回事"])})
+        st = pa.table({"doc_id": pa.array([9], pa.int64()),
+                       "text": pa.array(["旧语料完全无关的正文内容"])})
+        got = incremental_substring_scrub(
+            ray.data.from_arrow(ft), ray.data.from_arrow(st),
+            window=6).to_pandas()
+        assert got.dup_chars.sum() == 0
