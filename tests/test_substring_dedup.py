@@ -230,3 +230,34 @@ class TestIncrementalSubstringScrub:
             ray.data.from_arrow(ft), ray.data.from_arrow(st),
             window=6).to_pandas()
         assert got.dup_chars.sum() == 0
+
+
+class TestHostileInputs:
+    def test_astral_control_and_huge_texts(self):
+        """Astral-plane emoji (surrogate pairs in UTF-16, single codepoints
+        here), control bytes, and a 100k-char doc: the hash stays a total
+        function of the window STRING and window counts match len()-L+1
+        (Python and pyarrow both count codepoints)."""
+        texts = ["😀😀a😀😀", "x😀😀a😀😀y",
+                 "\x00\x01\x02abc\x00\x01\x02abc", "中" * 100_000]
+        d, o, h = _window_hashes(texts, 3)
+        assert len(h) == sum(max(len(t) - 2, 0) for t in texts)
+        by_str = {}
+        for di, oi, hi in zip(d, o, h):
+            w = texts[di][oi:oi + 3]
+            assert by_str.setdefault(w, int(hi)) == int(hi)
+
+    def test_scrub_survives_hostile_rows(self, ray_session):
+        import ray
+
+        texts = {1: "", 2: " ", 3: "😀" * 40, 4: "😀" * 40,
+                 5: "\x00" * 35, 6: "正常的一段完整中文内容测试语句在此处结束"}
+        t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                      "text": pa.array(list(texts.values()))})
+        want = naive_scrub(texts, 30)
+        got = scrub_duplicated_windows(ray.data.from_arrow(t), "doc_id",
+                                       "text", window=30).to_pandas()
+        for r in got.itertuples():
+            assert (r.text, r.dup_chars) == want[r.doc_id]
+        # the emoji twins collapse; the lone control-char doc survives
+        assert want[3][1] == 40 and want[5][1] == 0
