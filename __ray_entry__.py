@@ -2137,13 +2137,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
       transcripts family, knn_brute) plus the three NEW oracled queries
       (knn_ivf, knn_recall, transcripts_clean_pipeline) — first so they
       survive even a smaller window;
-    - positions 17–50: oracled queries already driver-green in r04;
-    - positions 51–60: oracled VARIANTS of in-window queries (by-source /
-      keeper / bloom / sliding-window twins), all driver-green in r04 and
-      still pytest-oracled at 3 SFs — parked outside the window to make
-      room;
-    - positions 61–68: the no-oracle approximate/stateful queries
-      (rows-only check by design)."""
+    - positions 17–50: oracled queries already driver-green in r04, plus
+      the round-5 second-wave additions (heavy hitters, quantile sketch,
+      substring dedup, incremental substring) — each displaced one
+      r04-green sibling to tier 3;
+    - tier 3 (after 50): oracled VARIANTS / displaced siblings (by-source,
+      keeper, bloom, sliding-window, sample/shuffle/split/quantile twins),
+      all driver-green in r04 and still pytest-oracled at 3 SFs;
+    - tail: the no-oracle approximate/stateful queries (rows-only check
+      by design)."""
     return {
         # -- tier 1: newly-oracled + previously outside the driver window --
         "knn_brute": _q_knn_brute,
