@@ -1212,6 +1212,31 @@ def _q_doc_incremental_substring(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_transcripts_substring_dedup(sf_dir: str):
+    """Substring dedup on the TRANSCRIPT shape with the shared boilerplate
+    header/footer injected around every turn (same derivation as the
+    paragraph-dedup twin): the injected lines make every turn carry
+    duplicated spans, exercising the high-dup-rate path end-to-end."""
+    from chinese_corpus_cleaning_ray.stages.substring_dedup import (
+        duplicated_window_spans,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def boiler(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.scalar(_BOILER_HEADER), batch.column("text"),
+            pa.scalar(_BOILER_FOOTER), pa.scalar("\n"))
+        return pa.table({"doc_id": batch.column("doc_id"), "text": txt})
+
+    out = duplicated_window_spans(
+        ds.map_batches(boiler, batch_format="pyarrow"), "doc_id", "text",
+        window=30, min_docs=2).to_pandas()
+    for c in ("doc_id", "dup_chars", "n_spans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _q_events_burst_flags(sf_dir: str):
     """Per-type hourly burst detection: integer-exact trailing-window
     comparison (n·baseline_hours > 2·baseline_events, ≥3 present trailing
@@ -1818,6 +1843,41 @@ def _q_transcripts_paragraph_dedup(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _substring_spans_sql(relation: str = "documents",
+                         window: int = 30) -> str:
+    """Parametrized restatement of duplicated_window_spans: per-doc merged
+    dup-window span mass over any (doc_id, text) relation — the window
+    explosion via unnest(generate_series), the distinct-doc HAVING, and the
+    gaps-and-islands merge (island break when off gap >= window)."""
+    w1 = window - 1
+    return f"""
+        WITH src AS (SELECT doc_id, text FROM {relation}),
+        fw AS (SELECT doc_id,
+                      unnest(generate_series(1, length(text) - {w1})) AS off,
+                      text
+               FROM src WHERE length(text) >= {window}),
+        fw2 AS (SELECT doc_id, off, substr(text, off, {window}) AS win
+                FROM fw),
+        dup AS (SELECT win FROM fw2 GROUP BY win
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        cand AS (SELECT doc_id, off FROM fw2
+                 WHERE win IN (SELECT win FROM dup)),
+        isl AS (SELECT doc_id, off,
+                CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id
+                                               ORDER BY off) <= {w1}
+                     THEN 0 ELSE 1 END AS brk FROM cand),
+        grp AS (SELECT doc_id, off, SUM(brk) OVER (PARTITION BY doc_id
+                    ORDER BY off) AS g FROM isl),
+        spans AS (SELECT doc_id, g, MIN(off) AS s, MAX(off) + {w1} AS e
+                  FROM grp GROUP BY doc_id, g)
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS dup_chars,
+               CAST(COUNT(s.s) AS BIGINT) AS n_spans
+        FROM src d LEFT JOIN spans s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
 def _paragraph_dedup_sql(source: str = "documents") -> str:
     """Self-contained SELECT (nested WITH) producing the paragraph-deduped
     (doc_id, text) corpus with the shared boilerplate derivation — the SQL
@@ -2212,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_dedup": _q_doc_containment_dedup,
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
+        "transcripts_substring_dedup": _q_transcripts_substring_dedup,
         "doc_incremental_dedup_bloom": _q_doc_incremental_dedup_bloom,
         "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
         "doc_length_quantiles_by_source": _q_doc_length_quantiles_by_source,
@@ -2288,31 +2349,14 @@ def oracle_sql() -> dict[str, str]:
                     WHERE cum >= GREATEST(CEIL(q * tot.n), 1)) * 1.0 AS est
             FROM qs ORDER BY q
         """,
-        "doc_substring_dedup": """
-            WITH w AS (
-                SELECT doc_id,
-                       unnest(generate_series(1, length(text) - 29)) AS off,
-                       text
-                FROM documents WHERE length(text) >= 30),
-            w2 AS (SELECT doc_id, off, substr(text, off, 30) AS win FROM w),
-            dup AS (SELECT win FROM w2 GROUP BY win
-                    HAVING COUNT(DISTINCT doc_id) >= 2),
-            cand AS (SELECT doc_id, off FROM w2
-                     WHERE win IN (SELECT win FROM dup)),
-            isl AS (SELECT doc_id, off,
-                    CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id
-                                                   ORDER BY off) <= 29
-                         THEN 0 ELSE 1 END AS brk FROM cand),
-            grp AS (SELECT doc_id, off, SUM(brk) OVER (PARTITION BY doc_id
-                        ORDER BY off) AS g FROM isl),
-            spans AS (SELECT doc_id, g, MIN(off) AS s, MAX(off) + 29 AS e
-                      FROM grp GROUP BY doc_id, g)
-            SELECT d.doc_id,
-                   CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS dup_chars,
-                   CAST(COUNT(s.s) AS BIGINT) AS n_spans
-            FROM documents d LEFT JOIN spans s ON d.doc_id = s.doc_id
-            GROUP BY d.doc_id ORDER BY d.doc_id
-        """,
+        "doc_substring_dedup": _substring_spans_sql("documents"),
+        "transcripts_substring_dedup": _substring_spans_sql(
+            f"""(SELECT doc_id,
+                        'cookie notice accept all cookies to continue' ||
+                        chr(10) || text || chr(10) ||
+                        'subscribe to our newsletter for daily updates'
+                            AS text
+                 FROM ({_DERIVE_SQL}) t)"""),
         "doc_incremental_substring": """
             WITH fresh AS (SELECT doc_id, text FROM documents
                            WHERE doc_id % 3 <> 0),
