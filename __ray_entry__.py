@@ -1212,6 +1212,30 @@ def _q_doc_incremental_substring(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_doc_quality_probe(sf_dir: str):
+    """Closed-form linear probe (quality-filter fitting primitive): fit
+    count('。') ~ intercept + b1*length + b2*count('，') over the corpus.
+    The normal equations accumulate as EXACT integers (one streaming
+    pass), the driver solves by Cramer on exact determinants, and each
+    coefficient is float(det_i)/float(det) — reproduced bit-for-bit by
+    the oracle's HUGEINT sums + the same two DOUBLE casts."""
+    from chinese_corpus_cleaning_ray.functions.regress import linear_probe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table({
+            "y": pc.cast(pc.count_substring(txt, "。"), pa.int64()),
+            "x1": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "x2": pc.cast(pc.count_substring(txt, "，"), pa.int64()),
+        })
+
+    out = linear_probe(ds.map_batches(feats, batch_format="pyarrow"),
+                       ["x1", "x2"], "y")
+    return out.to_pandas().reset_index(drop=True)
+
+
 def _q_transcripts_substring_dedup(sf_dir: str):
     """Substring dedup on the TRANSCRIPT shape with the shared boilerplate
     header/footer injected around every turn (same derivation as the
@@ -2245,7 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_contamination": _q_doc_contamination,
         "doc_char_rank": _q_doc_char_rank,
-        "doc_token_budget": _q_doc_token_budget,
+        "doc_quality_probe": _q_doc_quality_probe,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "events_heavy_hitters": _q_events_heavy_hitters,
@@ -2263,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
+        "doc_token_budget": _q_doc_token_budget,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
         "event_type_counts": _q_event_type_counts,
@@ -2350,6 +2375,43 @@ def oracle_sql() -> dict[str, str]:
             FROM qs ORDER BY q
         """,
         "doc_substring_dedup": _substring_spans_sql("documents"),
+        "doc_quality_probe": """
+            WITH f AS (
+              SELECT CAST(length(text) - length(replace(text, '。', ''))
+                          AS BIGINT) AS y,
+                     CAST(length(text) AS BIGINT) AS x1,
+                     CAST(length(text) - length(replace(text, '，', ''))
+                          AS BIGINT) AS x2
+              FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x1) AS HUGEINT) AS s1,
+                         CAST(SUM(x2) AS HUGEINT) AS s2,
+                         CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+                         CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+                         CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+                         CAST(SUM(x2*y) AS HUGEINT) AS s2y
+                  FROM f),
+            d AS (SELECT
+              (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                 + s2*(s1*s12 - s11*s2)) AS det,
+              (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                 + s2*(s1y*s12 - s11*s2y)) AS det0,
+              (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                 + s2*(s1*s2y - s1y*s2)) AS det1,
+              (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                 + sy*(s1*s12 - s11*s2)) AS det2
+              FROM s)
+            SELECT term, coef FROM (
+              SELECT 0 AS o, 'intercept' AS term,
+                     CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) AS coef FROM d
+              UNION ALL SELECT 1, 'x1',
+                     CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) FROM d
+              UNION ALL SELECT 2, 'x2',
+                     CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) FROM d)
+            ORDER BY o
+        """,
         "transcripts_substring_dedup": _substring_spans_sql(
             f"""(SELECT doc_id,
                         'cookie notice accept all cookies to continue' ||

@@ -905,3 +905,68 @@ class TestBucketQuantiles:
         with pytest.raises(ValueError):
             bucket_quantiles(ray.data.from_arrow(big), "value", width=0.5,
                              max_buckets=10)
+
+
+class TestLinearProbe:
+    """Closed-form integer-exact least squares (functions/regress.py)."""
+
+    def test_matches_lstsq_and_layouts(self, ray_session):
+        import numpy.linalg as la
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.regress import linear_probe
+
+        rng = np.random.default_rng(5)
+        x1 = rng.integers(0, 500, 5000)
+        x2 = rng.integers(0, 50, 5000)
+        y = (3 + 2 * x1 - 5 * x2 + rng.integers(-3, 4, 5000)).astype(np.int64)
+        t = pa.table({"x1": pa.array(x1, pa.int64()),
+                      "x2": pa.array(x2, pa.int64()),
+                      "y": pa.array(y, pa.int64())})
+        got = linear_probe(ray.data.from_arrow(t).repartition(7),
+                           ["x1", "x2"], "y").to_pandas()
+        X = np.column_stack([np.ones(5000), x1, x2])
+        beta = la.lstsq(X, y.astype(float), rcond=None)[0]
+        assert np.allclose(got.coef.to_numpy(), beta, rtol=1e-9)
+        # bit-identical across layouts (exact integer accumulation)
+        again = linear_probe(ray.data.from_arrow(t).repartition(13),
+                             ["x1", "x2"], "y").to_pandas()
+        assert got.equals(again)
+
+    def test_singular_nulls_and_type_guard(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.regress import linear_probe
+
+        # constant feature -> X'X singular -> all-null coefs, no crash
+        t = pa.table({"x1": pa.array([1, 1, 1], pa.int64()),
+                      "y": pa.array([1, 2, 3], pa.int64())})
+        got = linear_probe(ray.data.from_arrow(t), ["x1"], "y").to_pandas()
+        assert got.coef.isna().all()
+        # null rows are dropped (SQL semantics): fit on the 3 clean rows
+        t2 = pa.table({"x1": pa.array([0, 1, 2, None], pa.int64()),
+                       "y": pa.array([5, 7, 9, 100], pa.int64())})
+        got2 = linear_probe(ray.data.from_arrow(t2), ["x1"], "y").to_pandas()
+        assert list(got2.coef) == [5.0, 2.0]
+        # float columns are rejected, never silently rounded
+        t3 = pa.table({"x1": pa.array([1.0, 2.0]),
+                       "y": pa.array([1, 2], pa.int64())})
+        with pytest.raises(ValueError):
+            linear_probe(ray.data.from_arrow(t3), ["x1"], "y")
+
+    def test_gram_exact_past_int64(self, ray_session):
+        """Entries near int64 limits stay exact (object-dtype Gram)."""
+        import ray
+
+        from chinese_corpus_cleaning_ray.functions.regress import linear_probe
+
+        x = np.full(4000, 3_000_000, np.int64)   # sum(x*x) = 3.6e19 > 2^63
+        x[::2] = 1                               # break singularity
+        y = np.where(x == 1, 7, 13).astype(np.int64)
+        t = pa.table({"x1": pa.array(x, pa.int64()),
+                      "y": pa.array(y, pa.int64())})
+        got = linear_probe(ray.data.from_arrow(t).repartition(5),
+                           ["x1"], "y").to_pandas()
+        # exact two-point fit: y = 7 + (13-7)/(3e6-1) * (x-1)
+        slope = 6.0 / (3_000_000 - 1)
+        assert abs(got.coef[1] - slope) < 1e-15
