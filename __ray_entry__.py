@@ -1214,7 +1214,7 @@ def _q_doc_incremental_substring(sf_dir: str):
 
 def _q_doc_quality_probe(sf_dir: str):
     """Closed-form linear probe (quality-filter fitting primitive): fit
-    count('。') ~ intercept + b1*length + b2*count('，') over the corpus.
+    count('table') ~ intercept + b1*length + b2*count('scan') over the corpus.
     The normal equations accumulate as EXACT integers (one streaming
     pass), the driver solves by Cramer on exact determinants, and each
     coefficient is float(det_i)/float(det) — reproduced bit-for-bit by
@@ -1226,14 +1226,43 @@ def _q_doc_quality_probe(sf_dir: str):
     def feats(batch: pa.Table) -> pa.Table:
         txt = batch.column("text")
         return pa.table({
-            "y": pc.cast(pc.count_substring(txt, "。"), pa.int64()),
+            "y": pc.cast(pc.count_substring(txt, "table"), pa.int64()),
             "x1": pc.cast(pc.utf8_length(txt), pa.int64()),
-            "x2": pc.cast(pc.count_substring(txt, "，"), pa.int64()),
+            "x2": pc.cast(pc.count_substring(txt, "scan"), pa.int64()),
         })
 
     out = linear_probe(ds.map_batches(feats, batch_format="pyarrow"),
                        ["x1", "x2"], "y")
     return out.to_pandas().reset_index(drop=True)
+
+
+def _q_doc_probe_scores(sf_dir: str):
+    """Fit-then-apply composition: the linear probe's coefficients (exact
+    integer normal equations) score every document in one more streaming
+    pass — score = (c0 + c1*x1) + c2*x2, evaluation order pinned so the
+    doubles restate bit-for-bit in SQL."""
+    from chinese_corpus_cleaning_ray.functions.regress import (
+        apply_linear,
+        linear_probe,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "y": pc.cast(pc.count_substring(txt, "table"), pa.int64()),
+            "x1": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "x2": pc.cast(pc.count_substring(txt, "scan"), pa.int64()),
+        })
+
+    fds = ds.map_batches(feats, batch_format="pyarrow")
+    coefs = linear_probe(fds, ["x1", "x2"], "y").column("coef").to_pylist()
+    out = (apply_linear(fds, ["x1", "x2"], coefs)
+           .select_columns(["doc_id", "score"]).to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
 def _q_transcripts_substring_dedup(sf_dir: str):
@@ -2298,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup_keeper": _q_doc_paragraph_dedup_keeper,
         "transcripts_paragraph_dedup": _q_transcripts_paragraph_dedup,
         "transcripts_substring_dedup": _q_transcripts_substring_dedup,
+        "doc_probe_scores": _q_doc_probe_scores,
         "doc_incremental_dedup_bloom": _q_doc_incremental_dedup_bloom,
         "doc_quantile_filter_by_source": _q_doc_quantile_filter_by_source,
         "doc_length_quantiles_by_source": _q_doc_length_quantiles_by_source,
@@ -2375,13 +2405,49 @@ def oracle_sql() -> dict[str, str]:
             FROM qs ORDER BY q
         """,
         "doc_substring_dedup": _substring_spans_sql("documents"),
+        "doc_probe_scores": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST((length(text) - length(replace(text, 'table', '')))
+                          // 5 AS BIGINT) AS y,
+                     CAST(length(text) AS BIGINT) AS x1,
+                     CAST((length(text) - length(replace(text, 'scan', '')))
+                          // 4 AS BIGINT) AS x2
+              FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x1) AS HUGEINT) AS s1,
+                         CAST(SUM(x2) AS HUGEINT) AS s2,
+                         CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+                         CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+                         CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+                         CAST(SUM(x2*y) AS HUGEINT) AS s2y
+                  FROM f),
+            d AS (SELECT
+              (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                 + s2*(s1*s12 - s11*s2)) AS det,
+              (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                 + s2*(s1y*s12 - s11*s2y)) AS det0,
+              (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                 + s2*(s1*s2y - s1y*s2)) AS det1,
+              (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                 + sy*(s1*s12 - s11*s2)) AS det2
+              FROM s),
+            c AS (SELECT CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) AS c0,
+                         CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) AS c1,
+                         CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) AS c2
+                  FROM d)
+            SELECT doc_id, (c0 + c1*x1) + c2*x2 AS score
+            FROM f, c ORDER BY doc_id
+        """,
         "doc_quality_probe": """
             WITH f AS (
-              SELECT CAST(length(text) - length(replace(text, '。', ''))
-                          AS BIGINT) AS y,
+              SELECT CAST((length(text) - length(replace(text, 'table', '')))
+                          // 5 AS BIGINT) AS y,
                      CAST(length(text) AS BIGINT) AS x1,
-                     CAST(length(text) - length(replace(text, '，', ''))
-                          AS BIGINT) AS x2
+                     CAST((length(text) - length(replace(text, 'scan', '')))
+                          // 4 AS BIGINT) AS x2
               FROM documents WHERE text IS NOT NULL),
             s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
                          CAST(SUM(x1) AS HUGEINT) AS s1,

@@ -116,3 +116,23 @@ def linear_probe(ds, x_cols: list[str], y_col: str):
             coefs.append(float(_det_int(Gi)) / float(det))
     return pa.table({"term": pa.array(terms, pa.string()),
                      "coef": pa.array(coefs, pa.float64())})
+
+
+def apply_linear(ds, x_cols: list[str], coefs: list[float],
+                 out_col: str = "score"):
+    """Apply a fitted probe: ``out_col = c0 + c1*x1 + ... (left-to-right)``.
+    The evaluation order is pinned so the doubles are reproducible (and
+    restatable in SQL as the same chain); broadcast is trivial — the
+    coefficient list rides the task closure."""
+    if len(coefs) != len(x_cols) + 1:
+        raise ValueError("apply_linear: need one coef per x_col + intercept")
+    cs = [float(c) for c in coefs]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = np.full(batch.num_rows, cs[0], np.float64)
+        for c, col in zip(cs[1:], x_cols):
+            x = batch.column(col).to_numpy(zero_copy_only=False)
+            s = s + c * x.astype(np.float64)
+        return batch.append_column(out_col, pa.array(s, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
