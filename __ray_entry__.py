@@ -1265,6 +1265,47 @@ def _q_doc_probe_scores(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_images_phash_dedup(sf_dir: str):
+    """Multimodal chain end-to-end: deterministic 16x16 grayscale PNGs
+    synthesized from each document's utf-8 bytes (stdlib encoder) -> REAL
+    in-sandbox PNG decode -> 64-bit aHash -> banded Hamming dedup (the
+    factored text-SimHash plan). no_oracle (DuckDB cannot decode PNGs);
+    pinned by planted-pixel tests in test_image_phash.py."""
+    from chinese_corpus_cleaning_ray.stages.multimodal import image_phash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        payloads = []
+        for t in batch.column("text").to_pylist():
+            raw_b = t.encode("utf-8")[:256]
+            px = np.frombuffer(raw_b.ljust(256, b"\0"), np.uint8).reshape(16, 16)
+            scan = b"".join(b"\x00" + px[y].tobytes() for y in range(16))
+
+            def chunk(ctype, data):
+                return (struct.pack(">I", len(data)) + ctype + data
+                        + struct.pack(">I", zlib.crc32(ctype + data)))
+
+            ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0)
+            payloads.append(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                            + chunk(b"IDAT", zlib.compress(scan))
+                            + chunk(b"IEND", b""))
+        return pa.table({"image_id": batch.column("doc_id"),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    kept, _ = image_phash_dedup(ds.map_batches(to_png, batch_format="pyarrow"),
+                                "image_id", max_hamming=0)
+    out = kept.select_columns(["image_id", "phash"]).to_pandas()
+    out["image_id"] = out["image_id"].astype("int64")
+    return (out.sort_values("image_id", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def _q_transcripts_substring_dedup(sf_dir: str):
     """Substring dedup on the TRANSCRIPT shape with the shared boilerplate
     header/footer injected around every turn (same derivation as the
@@ -2345,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "images_phash_dedup": _q_images_phash_dedup,
     }
 
 

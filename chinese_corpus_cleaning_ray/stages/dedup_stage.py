@@ -1003,23 +1003,42 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
     """
     from chinese_corpus_cleaning_ray.functions.dedup import simhash64
 
-    def add_bands(batch: pa.Table) -> pa.Table:
+    def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
+        sims = pa.array(np.asarray([simhash64(t, k) for t in texts],
+                                   dtype=np.int64))
+        return pa.table({id_col: batch.column(id_col), "h64": sims})
+
+    dup_ids_ds = hamming_dup_ids(
+        ds.map_batches(add_hash, batch_format="pyarrow"), id_col, "h64",
+        max_hamming=max_hamming, shards=shards)
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)
+
+
+def hamming_dup_ids(ds, id_col: str, hash_col: str, max_hamming: int = 3,
+                    shards: int = 256):
+    """Generic 64-bit-hash Hamming dedup plan (the banding half of
+    ``simhash_dedup``, factored so any 64-bit perceptual hash — text
+    simhash, image aHash — reuses it): 4x16-bit band blocking finds every
+    pair within Hamming <= 3 (pigeonhole), buckets verify by exact popcount
+    over DISTINCT values (low-entropy guard), and the returned Dataset holds
+    the duplicate ids (every non-minimal member of a verified pair)."""
+
+    def add_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        sims = [simhash64(t, k) for t in texts]
-        n = len(texts)
-        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
-        bands = np.empty(4 * n, dtype=np.int64)
-        bidx = np.empty(4 * n, dtype=np.int32)
-        for i, s in enumerate(sims):
-            u = s & ((1 << 64) - 1)
-            for b in range(4):
-                bands[4 * i + b] = (u >> (16 * b)) & 0xFFFF
-                bidx[4 * i + b] = b
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u = h.view(np.uint64)
+        n = len(h)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
+        bidx = np.tile(np.arange(4, dtype=np.int32), n)
+        bands = ((u[rep] >> (16 * bidx).astype(np.uint64))
+                 & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                id_col: ids.take(rep),
-                "simhash": pa.array(np.repeat(np.asarray(sims, dtype=np.int64), 4)),
+                id_col: ids.take(pa.array(rep)),
+                "simhash": pa.array(h[rep]),
                 "band_id": pa.array(bidx),
                 "band_val": pa.array(bands),
                 "shard": pa.array(
@@ -1031,7 +1050,7 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
     def mark(group: pd.DataFrame) -> pd.DataFrame:
         """Within each (band_id, band_val) bucket (id-sorted), a row is a
         duplicate iff ANY earlier row is within max_hamming. Identical
-        simhash values are collapsed first (see docstring); the chunked
+        hash values are collapsed first (see docstring); the chunked
         numpy-broadcast XOR + SWAR-popcount scan then runs over distinct
         values only, its pairwise matrix capped at ~4M cells."""
         from chinese_corpus_cleaning_ray.functions.dedup import popcount64
@@ -1080,13 +1099,11 @@ def simhash_dedup(ds, id_col: str, text_col: str = "text", k: int = 3,
             return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
         return pd.DataFrame({id_col: pd.unique(g[id_col].to_numpy()[dup_mask])})
 
-    dup_ids_ds = (
+    return (
         ds.map_batches(add_bands, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(mark, batch_format="pandas")
     )
-    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
-                       broadcast_limit=broadcast_limit)
 
 
 def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",

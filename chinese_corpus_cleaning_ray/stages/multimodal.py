@@ -34,6 +34,18 @@ class DeterministicFakeDecoder:
             "ok": True,
         }
 
+    def decode_luma(self, payload: bytes):
+        """Deterministic fake luma (16x16 from a blake2b expansion of the
+        payload) so the perceptual-hash plumbing tests run without a codec:
+        equal payloads -> equal luma -> equal hash."""
+        import numpy as np
+
+        if payload is None or len(payload) == 0:
+            return None
+        raw = hashlib.blake2b(payload, digest_size=32).digest()
+        seed = np.frombuffer(raw, np.uint8).astype(np.float64)
+        return np.add.outer(seed[:16], seed[16:]) % 256.0
+
 
 class PurePythonImageDecoder:
     """REAL in-sandbox decode path, stdlib-only: parses PNG (8-bit gray /
@@ -48,6 +60,12 @@ class PurePythonImageDecoder:
     deployment with pillow installed should prefer RealImageDecoder."""
 
     _FAIL = {"width": 0, "height": 0, "mean_value": 0.0, "ok": False}
+
+    def decode_luma(self, payload: bytes):
+        """Full luma matrix (float64 HxW) of a decodable payload, else None
+        — the pixel-level seam the perceptual-hash stage consumes."""
+        d = self.decode(payload)
+        return d.get("luma") if d.get("ok") else None
 
     def decode(self, payload: bytes) -> dict:
         if not payload:
@@ -129,7 +147,8 @@ class PurePythonImageDecoder:
         else:
             luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
         return {"width": int(width), "height": int(height),
-                "mean_value": float(luma.mean() / 255.0), "ok": True}
+                "mean_value": float(luma.mean() / 255.0), "ok": True,
+                "luma": luma}
 
     def _decode_bmp(self, payload: bytes) -> dict:
         import struct
@@ -158,7 +177,8 @@ class PurePythonImageDecoder:
         px = rows.reshape(height, width, 3).astype(np.float64)  # BGR order
         luma = 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
         return {"width": int(width), "height": int(height),
-                "mean_value": float(luma.mean() / 255.0), "ok": True}
+                "mean_value": float(luma.mean() / 255.0), "ok": True,
+                "luma": luma}
 
 
 class RealImageDecoder:  # pragma: no cover - env-gated (PIL absent here)
@@ -370,3 +390,104 @@ def sample_frames(ds, binary_col: str = "payload", num_frames: int = 4,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def ahash64(luma) -> int:
+    """64-bit average hash (aHash) of a luma matrix: 8x8 block means
+    thresholded at their own mean, packed row-major LSB-first, returned as
+    a SIGNED int64 (Arrow-friendly; the Hamming machinery views the bits).
+    Deterministic, resolution-robust for same-content images (uniform
+    brightness shifts do not flip bits); matrices smaller than 8x8 are
+    edge-repeated up first."""
+    import numpy as np
+
+    a = np.asarray(luma, np.float64)
+    if a.ndim != 2 or a.size == 0:
+        return 0
+    h, w = a.shape
+    if h < 8:
+        a = np.repeat(a, -(-8 // h), axis=0)
+        h = a.shape[0]
+    if w < 8:
+        a = np.repeat(a, -(-8 // w), axis=1)
+        w = a.shape[1]
+    re = (np.arange(9, dtype=np.int64) * h) // 8
+    ce = (np.arange(9, dtype=np.int64) * w) // 8
+    sums = np.add.reduceat(np.add.reduceat(a, re[:-1], axis=0), ce[:-1], axis=1)
+    counts = np.outer(np.diff(re), np.diff(ce)).astype(np.float64)
+    means = sums / counts
+    bits = (means > means.mean()).ravel()
+    packed = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            packed |= np.uint64(1) << np.uint64(i)
+    return int(packed.astype(np.int64))
+
+
+class ImagePHashStage:
+    """Actor-pool stage: binary column -> ``phash`` (int64 aHash) +
+    ``phash_ok`` columns. Decoder built once per actor; any payload the
+    decoder cannot handle gets phash_ok=False (and is EXCLUDED from dedup
+    downstream, never silently grouped under hash 0)."""
+
+    def __init__(self, binary_col: str = "payload",
+                 decoder_factory=PurePythonImageDecoder):
+        self.binary_col = binary_col
+        self.decoder = decoder_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payloads = batch.column(self.binary_col).to_pylist()
+        hashes = np.zeros(len(payloads), np.int64)
+        ok = np.zeros(len(payloads), bool)
+        for i, p in enumerate(payloads):
+            luma = self.decoder.decode_luma(p)
+            if luma is not None:
+                hashes[i] = ahash64(luma)
+                ok[i] = True
+        batch = batch.append_column("phash", pa.array(hashes, pa.int64()))
+        batch = batch.append_column("phash_ok", pa.array(ok, pa.bool_()))
+        return batch
+
+
+def image_phash_dedup(ds, id_col: str = "image_id",
+                      binary_col: str = "payload", max_hamming: int = 0,
+                      decoder_factory=PurePythonImageDecoder,
+                      batch_size: int = 64, concurrency=4,
+                      strategy: str = "auto",
+                      broadcast_limit: int = 2_000_000):
+    """Perceptual image dedup: decode (actor pool, real in-sandbox PNG/BMP
+    decoder by default) -> 64-bit aHash -> the SAME banded Hamming plan as
+    text SimHash (``dedup_stage.hamming_dup_ids``): 4x16-bit band blocking
+    finds every pair within Hamming <= 3, buckets verify by exact popcount,
+    keep-first by id. Undecodable payloads always survive (no hash — no
+    claim). Returns ``(filtered_ds, dup_ids)`` like every house dedup; the
+    filtered Dataset keeps the ``phash``/``phash_ok`` columns for audit."""
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        anti_filter,
+        hamming_dup_ids,
+    )
+    from chinese_corpus_cleaning_ray.stages.pools import resolve_pool
+
+    hashed = ds.map_batches(
+        ImagePHashStage,
+        fn_constructor_kwargs=dict(binary_col=binary_col,
+                                   decoder_factory=decoder_factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=resolve_pool(concurrency, fraction=0.4),
+        num_cpus=1,
+    ).materialize()  # hash once; both the dedup plan and the output read it
+
+    def only_ok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("phash_ok"), True)).select(
+            [id_col, "phash"])
+
+    dup_ids = hamming_dup_ids(
+        hashed.map_batches(only_ok, batch_format="pyarrow"), id_col, "phash",
+        max_hamming=max_hamming)
+    return anti_filter(hashed, dup_ids, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)
