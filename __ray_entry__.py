@@ -1265,6 +1265,20 @@ def _q_doc_probe_scores(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_events_heavy_users_per_type(sf_dir: str):
+    """Per-group exact heavy hitters: within each event_type, users with
+    cnt*100 > n_type (exact counts). Two-pass candidate-superset shape;
+    shuffle O(k x keys x batches), never O(distinct pairs)."""
+    from chinese_corpus_cleaning_ray.stages.analysis import (
+        heavy_hitters_by_key,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = heavy_hitters_by_key(ds, "event_type", "user_id",
+                               k=100).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def _q_images_phash_dedup(sf_dir: str):
     """Multimodal chain end-to-end: deterministic 16x16 grayscale PNGs
     synthesized from each document's utf-8 bytes (stdlib encoder) -> REAL
@@ -2344,7 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_repetition_signals": _q_doc_repetition_signals,
-        "doc_boilerplate_report": _q_doc_boilerplate_report,
+        "events_heavy_users_per_type": _q_events_heavy_users_per_type,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_keywords": _q_doc_keywords,
@@ -2357,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
+        "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_token_budget": _q_doc_token_budget,
         "doc_shuffle": _q_doc_shuffle,
         "doc_train_val_split": _q_doc_train_val_split,
@@ -2558,6 +2573,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(s.s) AS BIGINT) AS n_spans
             FROM fresh d LEFT JOIN spans s ON d.doc_id = s.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "events_heavy_users_per_type": """
+            WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY event_type, user_id),
+            t AS (SELECT event_type, SUM(cnt) AS n FROM c
+                  GROUP BY event_type)
+            SELECT c.event_type, c.user_id, CAST(c.cnt AS BIGINT) AS cnt
+            FROM c JOIN t USING (event_type)
+            WHERE c.cnt * 100 > t.n
+            ORDER BY c.event_type, cnt DESC, c.user_id
         """,
         "events_heavy_hitters": """
             SELECT user_id, COUNT(*) AS cnt

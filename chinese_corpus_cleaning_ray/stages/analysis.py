@@ -1261,3 +1261,94 @@ def heavy_hitters(ds, col: str, k: int, max_candidates: int = 2_000_000):
     keep.sort(key=lambda t: (-t[1], t[0]))
     return pa.table({col: pa.array([t[0] for t in keep], val_type),
                      "cnt": pa.array([t[1] for t in keep], pa.int64())})
+
+
+def heavy_hitters_by_key(ds, key_col: str, col: str, k: int,
+                         max_candidates: int = 2_000_000):
+    """Per-group exact phi-heavy hitters: within each ``key_col`` group,
+    every ``col`` value with ``cnt * k > n_key`` and its exact count — the
+    grouped sibling of ``heavy_hitters`` with the same two-pass shape.
+
+    Pass 1 keeps, per batch, the (key, value) pairs whose batch-local count
+    within the key strictly exceeds ``n_b(key)/(k+1)`` — at most k values
+    per key per batch; by the same averaging argument, a group-heavy value
+    is batch-heavy within its key in at least one batch, so the union is a
+    superset. One null-value sentinel per (batch, key) carries ``n_b(key)``.
+    Pass 2 broadcasts the candidate pair set and recounts exactly; the
+    driver holds candidates + per-key totals only (``max_candidates``
+    guard raises, never truncates). Nulls in either column are ignored.
+    Returns Arrow (key_col, col, cnt) sorted by (key, cnt desc, value)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    sch = ds.schema().base_schema
+    key_type = sch.field(key_col).type
+    val_type = sch.field(col).type
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).drop_null().to_pandas()
+        if not len(df):
+            return pa.table({key_col: pa.array([], key_type),
+                             col: pa.array([], val_type),
+                             "n_b": pa.array([], pa.int64())})
+        cnt = (df.groupby([key_col, col], sort=False).size()
+               .reset_index(name="c"))
+        tot = df.groupby(key_col, sort=False).size()
+        nb = cnt[key_col].map(tot).to_numpy()
+        keep = cnt[cnt["c"].to_numpy() * (k + 1) > nb]
+        sent_keys = tot.index.to_numpy()
+        return pa.table({
+            key_col: pa.array(
+                list(keep[key_col]) + list(sent_keys), key_type),
+            col: pa.array(
+                list(keep[col]) + [None] * len(sent_keys), val_type),
+            "n_b": pa.array(
+                [0] * len(keep) + [int(v) for v in tot.to_numpy()],
+                pa.int64()),
+        })
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    n_by_key: dict = {}
+    cand: set = set()
+    for r in rows:
+        if r[col] is None:
+            n_by_key[r[key_col]] = n_by_key.get(r[key_col], 0) + r["n_b"]
+        else:
+            cand.add((r[key_col], r[col]))
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters_by_key: {len(cand)} candidates exceeds "
+            f"max_candidates={max_candidates}."
+        )
+    empty = pa.table({key_col: pa.array([], key_type),
+                      col: pa.array([], val_type),
+                      "cnt": pa.array([], pa.int64())})
+    if not cand:
+        return empty
+    cand_df = pd.DataFrame(sorted(cand), columns=[key_col, col])
+    cand_ref = ray.put(cand_df)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cdf = ray.get(cand_ref)
+        df = batch.select([key_col, col]).drop_null().to_pandas()
+        if not len(df):
+            return pa.table({key_col: pa.array([], key_type),
+                             col: pa.array([], val_type),
+                             "cnt": pa.array([], pa.int64())})
+        hit = df.merge(cdf, on=[key_col, col], how="inner")  # vectorized
+        g = (hit.groupby([key_col, col], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.table({key_col: pa.array(list(g[key_col]), key_type),
+                         col: pa.array(list(g[col]), val_type),
+                         "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64),
+                                         pa.int64())})
+
+    totals = (ds.map_batches(recount, batch_format="pyarrow")
+              .groupby([key_col, col]).sum("cnt").take_all())
+    out = [(r[key_col], r[col], int(r["sum(cnt)"])) for r in totals
+           if r["sum(cnt)"] * k > n_by_key.get(r[key_col], 0)]
+    out.sort(key=lambda t: (t[0], -t[2], t[1]))
+    return pa.table({key_col: pa.array([t[0] for t in out], key_type),
+                     col: pa.array([t[1] for t in out], val_type),
+                     "cnt": pa.array([t[2] for t in out], pa.int64())})

@@ -970,3 +970,50 @@ class TestLinearProbe:
         # exact two-point fit: y = 7 + (13-7)/(3e6-1) * (x-1)
         slope = 6.0 / (3_000_000 - 1)
         assert abs(got.coef[1] - slope) < 1e-15
+
+
+class TestHeavyHittersByKey:
+    def test_matches_exact_per_group(self, ray_session):
+        import collections
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import (
+            heavy_hitters_by_key,
+        )
+
+        rng = np.random.default_rng(11)
+        keys = rng.choice(["a", "b", "c"], 3000)
+        vals = rng.integers(0, 40, 3000)
+        vals[keys == "a"] = vals[keys == "a"] % 5  # skew group a
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64()),
+                      # null rows in both columns must be ignored
+                      })
+        t = pa.concat_tables([t, pa.table({
+            "k": pa.array([None, "a"]), "v": pa.array([1, None], pa.int64())})])
+        for k in (4, 10, 30):
+            got = heavy_hitters_by_key(
+                ray.data.from_arrow(t).repartition(7), "k", "v", k
+            ).to_pandas()
+            cnt = collections.Counter(zip(keys, vals))
+            tot = collections.Counter(keys)
+            want = sorted(((kk, vv, c) for (kk, vv), c in cnt.items()
+                           if c * k > tot[kk]),
+                          key=lambda x: (x[0], -x[2], x[1]))
+            assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    def test_empty_and_guard(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.stages.analysis import (
+            heavy_hitters_by_key,
+        )
+
+        e = pa.table({"k": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+        assert heavy_hitters_by_key(ray.data.from_arrow(e), "k", "v",
+                                    5).num_rows == 0
+        t = pa.table({"k": pa.array(["x"] * 10),
+                      "v": pa.array(range(10), pa.int64())})
+        with pytest.raises(ValueError):
+            heavy_hitters_by_key(ray.data.from_arrow(t), "k", "v", 100,
+                                 max_candidates=2)
