@@ -1265,6 +1265,21 @@ def _q_doc_probe_scores(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def _q_events_value_quantiles_per_type(sf_dir: str):
+    """Per-group bucket-quantile sketch over events.value: bounded state
+    (one count per occupied (type, bucket)), per-key CDF on the driver,
+    bit-exact SQL restatement via a per-key window cumsum."""
+    from chinese_corpus_cleaning_ray.functions.sketches import (
+        bucket_quantiles_by_key,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = bucket_quantiles_by_key(ds, "event_type", "value",
+                                  qs=(0.25, 0.5, 0.9, 0.99),
+                                  width=1.0).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def _q_events_heavy_users_per_type(sf_dir: str):
     """Per-group exact heavy hitters: within each event_type, users with
     cnt*100 > n_type (exact counts). Two-pass candidate-superset shape;
@@ -2338,7 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": _q_pricing_summary,
         "topk_users_by_events": _q_topk_users,
         "join_orders_by_nation": _q_orders_by_nation,
-        "events_hourly": _q_events_hourly,
+        "events_value_quantiles_per_type": _q_events_value_quantiles_per_type,
         "events_topk_per_type": _q_events_topk_per_type,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
@@ -2371,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
+        "events_hourly": _q_events_hourly,
         "doc_boilerplate_report": _q_doc_boilerplate_report,
         "doc_token_budget": _q_doc_token_budget,
         "doc_shuffle": _q_doc_shuffle,
@@ -2573,6 +2589,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(s.s) AS BIGINT) AS n_spans
             FROM fresh d LEFT JOIN spans s ON d.doc_id = s.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "events_value_quantiles_per_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value / 1.0) AS BIGINT) AS bk,
+                              COUNT(*) AS c
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY event_type, bk),
+            t AS (SELECT event_type, bk,
+                         SUM(c) OVER (PARTITION BY event_type
+                                      ORDER BY bk) AS cum,
+                         SUM(c) OVER (PARTITION BY event_type) AS n
+                  FROM b),
+            qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.99))
+                   AS v(q))
+            SELECT k.event_type, CAST(q AS DOUBLE) AS q,
+                   (SELECT CAST(MIN(bk) AS DOUBLE) FROM t
+                    WHERE t.event_type = k.event_type
+                      AND cum >= GREATEST(CEIL(q * (SELECT MAX(n) FROM t t2
+                                   WHERE t2.event_type = k.event_type)), 1))
+                   * 1.0 AS est
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE value IS NOT NULL AND event_type IS NOT NULL) k,
+                 qs
+            ORDER BY k.event_type, q
         """,
         "events_heavy_users_per_type": """
             WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt

@@ -149,3 +149,62 @@ def bucket_quantiles(ds, col: str, qs: tuple = (0.25, 0.5, 0.9, 0.99),
         idx = int(np.searchsorted(cum, r))
         ests.append(float(bks[min(idx, len(bks) - 1)]) * width)
     return pa.table({"q": qs_arr, "est": pa.array(ests, pa.float64())})
+
+
+def bucket_quantiles_by_key(ds, key_col: str, col: str,
+                            qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                            width: float = 1.0,
+                            max_buckets: int = 2_000_000):
+    """Per-group ``bucket_quantiles``: one partial-counts pass emits
+    (key, bucket, c) rows, a groupby-sum leaves <= one row per occupied
+    (key, bucket), and the driver walks each key's CDF. Same determinism
+    contract (floor of an IEEE division; estimate = lower bucket edge at
+    rank ceil(q*n_key)) so it restates bit-exact in SQL with one window
+    cumsum per key. Returns Arrow (key_col, q, est) sorted by (key, q);
+    ``max_buckets`` bounds the TOTAL (key x bucket) rows the driver pulls
+    (raises, never truncates)."""
+    if width <= 0:
+        raise ValueError(f"width must be positive; got {width}")
+
+    key_type = ds.schema().base_schema.field(key_col).type
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).drop_null().to_pandas()
+        if not len(df):
+            return pa.table({key_col: pa.array([], key_type),
+                             "bk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        df["bk"] = np.floor(df[col].to_numpy(np.float64) / width).astype(
+            np.int64)
+        g = df.groupby([key_col, "bk"], sort=False).size().reset_index(
+            name="c")
+        return pa.table({key_col: pa.array(list(g[key_col]), key_type),
+                         "bk": pa.array(g["bk"].to_numpy(), pa.int64()),
+                         "c": pa.array(g["c"].to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby([key_col, "bk"]).sum("c").take_all())
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"bucket_quantiles_by_key: {len(rows)} occupied (key, bucket) "
+            f"rows exceeds max_buckets={max_buckets}; widen `width`."
+        )
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r[key_col], []).append((r["bk"], int(r["sum(c)"])))
+    out_k, out_q, out_e = [], [], []
+    for kk in sorted(per_key):
+        buckets = sorted(per_key[kk])
+        bks = np.array([b for b, _ in buckets], np.int64)
+        cum = np.cumsum([c for _, c in buckets])
+        n = int(cum[-1])
+        for q in qs:
+            r = max(int(np.ceil(float(q) * n)), 1)
+            idx = min(int(np.searchsorted(cum, r)), len(bks) - 1)
+            out_k.append(kk)
+            out_q.append(float(q))
+            out_e.append(float(bks[idx]) * width)
+    return pa.table({key_col: pa.array(out_k, key_type),
+                     "q": pa.array(out_q, pa.float64()),
+                     "est": pa.array(out_e, pa.float64())})

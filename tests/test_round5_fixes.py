@@ -1017,3 +1017,33 @@ class TestHeavyHittersByKey:
         with pytest.raises(ValueError):
             heavy_hitters_by_key(ray.data.from_arrow(t), "k", "v", 100,
                                  max_candidates=2)
+
+
+def test_bucket_quantiles_by_key(ray_session):
+    """Per-group sketch: error bound per key, layout invariance, null keys
+    ignored."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.functions.sketches import (
+        bucket_quantiles_by_key,
+    )
+
+    rng = np.random.default_rng(13)
+    keys = rng.choice(["hot", "cold"], 8000)
+    vals = np.where(keys == "hot", rng.exponential(100.0, 8000),
+                    rng.exponential(5.0, 8000))
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    t = pa.concat_tables([t, pa.table({"k": pa.array([None], pa.string()),
+                                       "v": pa.array([9.9], pa.float64())})])
+    got = bucket_quantiles_by_key(ray.data.from_arrow(t), "k", "v",
+                                  qs=(0.5, 0.99), width=2.0).to_pandas()
+    assert sorted(got.k.unique()) == ["cold", "hot"]
+    for kk in ("hot", "cold"):
+        sub = vals[keys == kk]
+        for q in (0.5, 0.99):
+            est = float(got[(got.k == kk) & (got.q == q)].est.iloc[0])
+            assert abs(est - np.quantile(sub, q)) <= 2.0
+    again = bucket_quantiles_by_key(ray.data.from_arrow(t).repartition(11),
+                                    "k", "v", qs=(0.5, 0.99),
+                                    width=2.0).to_pandas()
+    assert got.equals(again)
