@@ -93,7 +93,10 @@ def run_bench() -> dict:
                      "doc_duplicate_components", "doc_pii_redact",
                      "doc_shuffle", "doc_keywords", "events_asof_join",
                      "events_range_join", "doc_substring_dedup",
-                     "events_heavy_hitters", "events_value_quantile_sketch"):
+                     "events_heavy_hitters", "events_value_quantile_sketch",
+                     "events_heavy_users_per_type",
+                     "events_value_quantiles_per_type", "doc_quality_probe",
+                     "doc_probe_scores", "doc_incremental_substring"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):
