@@ -1294,6 +1294,22 @@ def _q_events_heavy_users_per_type(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich 2016, the HF-trainer shape): one
+    distributed word-count pass collapses the corpus to distinct words,
+    the merge loop runs driver-side over that bounded multiset. Merge
+    table is deterministic (exact integer counts; ties count-desc then
+    lexicographic). no_oracle (iterative algorithm); pinned vs a naive
+    reference trainer in test_bpe.py."""
+    from chinese_corpus_cleaning_ray.functions.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = train_bpe(ds, "text", n_merges=40).to_pandas()
+    for c in ("rank", "count"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_images_phash_dedup(sf_dir: str):
     """Multimodal chain end-to-end: deterministic 16x16 grayscale PNGs
     synthesized from each document's utf-8 bytes (stdlib encoder) -> REAL
@@ -2418,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_minhash_dedup": _q_transcripts_minhash_dedup,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "images_phash_dedup": _q_images_phash_dedup,
+        "doc_bpe_merges": _q_doc_bpe_merges,
     }
 
 
