@@ -2234,6 +2234,38 @@ def _q_doc_pack_chunks(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-4-gram importance weight of every document against
+    the zh-language target slice: integer bucket-count dot products plus a
+    fixed two-division IEEE tail, bitwise-equal to the SQL restatement."""
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = dsir_weights(ds, target_col="lang", target_val="zh",
+                       id_col="doc_id").to_pandas()
+    for c in ("doc_id", "aff_num", "aff_den"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "aff_num", "aff_den", "affinity"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+#: Fixed lexical-search probe for doc_tfidf_search — its distinct 4-grams
+#: are inlined as literals in the oracle SQL, so keep the two in sync.
+_TFIDF_QUERY = "fast table scan query"
+
+
+def _q_doc_tfidf_search(sf_dir: str):
+    """Log-free TF-IDF top-10 search for a fixed query string: integer
+    tf x floor(1000·N/df) scores, ties broken (score DESC, doc_id ASC)."""
+    from chinese_corpus_cleaning_ray.stages.relevance import tfidf_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_search(ds, _TFIDF_QUERY, id_col="doc_id").to_pandas()
+    for c in ("doc_id", "score"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
 def _q_doc_train_val_split(sf_dir: str):
     from chinese_corpus_cleaning_ray.stages.analysis import train_val_split
 
@@ -2399,6 +2431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
         "events_value_quantile_sketch": _q_events_value_quantile_sketch,
+        "doc_dsir_weights": _q_doc_dsir_weights,
+        "doc_tfidf_search": _q_doc_tfidf_search,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
@@ -2493,6 +2527,63 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(MIN(bk) AS DOUBLE) FROM t, tot
                     WHERE cum >= GREATEST(CEIL(q * tot.n), 1)) * 1.0 AS est
             FROM qs ORDER BY q
+        """,
+        # DSIR-style target-affinity: identical poly-131 codepoint bucket
+        # hash, BIGINT dot products, then exactly (num/den)*(d_r/d_t) in
+        # doubles — same fixed IEEE op sequence as the Ray kernel.
+        "doc_dsir_weights": """
+            WITH grams AS (
+              SELECT doc_id, lang,
+                     unnest([substr(text, CAST(i AS INTEGER), 4)
+                             for i in range(1, length(text) - 2)]) AS g
+              FROM documents),
+            bux AS (
+              SELECT doc_id, lang,
+                     ((((unicode(substr(g, 1, 1)) * 131
+                         + unicode(substr(g, 2, 1))) * 131
+                        + unicode(substr(g, 3, 1))) * 131
+                       + unicode(substr(g, 4, 1))) % 64) AS b
+              FROM grams),
+            tot AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+                           CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT)
+                               AS c_t
+                    FROM bux GROUP BY b),
+            gt AS (SELECT CAST(SUM(c_r) AS BIGINT) AS d_r,
+                          CAST(SUM(c_t) AS BIGINT) AS d_t FROM tot),
+            per AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM bux GROUP BY doc_id, b),
+            agg AS (SELECT doc_id, CAST(SUM(n * c_t) AS BIGINT) AS aff_num,
+                           CAST(SUM(n * c_r) AS BIGINT) AS aff_den
+                    FROM per JOIN tot USING (b) GROUP BY doc_id)
+            SELECT doc_id, aff_num, aff_den,
+                   (CAST(aff_num AS DOUBLE) / CAST(aff_den AS DOUBLE))
+                   * (CAST(d_r AS DOUBLE) / CAST(d_t AS DOUBLE)) AS affinity
+            FROM agg, gt ORDER BY doc_id
+        """,
+        # grams('fast table scan query', k=4) inlined as literals; integer
+        # floor-quantized idf so the ranking is float-free
+        "doc_tfidf_search": """
+            WITH q(g) AS (VALUES """ + ", ".join(
+                "('{}')".format(g) for g in sorted(
+                    {_TFIDF_QUERY[i:i + 4]
+                     for i in range(len(_TFIDF_QUERY) - 3)})) + """),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            allg AS (
+              SELECT doc_id,
+                     unnest([substr(text, CAST(i AS INTEGER), 4)
+                             for i in range(1, length(text) - 2)]) AS g
+              FROM documents),
+            pairs AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+                      FROM allg JOIN q USING (g) GROUP BY doc_id, g),
+            dfs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM pairs GROUP BY g),
+            scores AS (SELECT doc_id,
+                              CAST(SUM(tf * ((1000 * n_docs) // df))
+                                   AS BIGINT) AS score
+                       FROM pairs JOIN dfs USING (g), n
+                       GROUP BY doc_id, n_docs)
+            SELECT doc_id, score FROM scores
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "doc_substring_dedup": _substring_spans_sql("documents"),
         "doc_probe_scores": """

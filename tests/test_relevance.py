@@ -1,0 +1,193 @@
+"""Tests for the data-selection relevance stages (stages/relevance.py):
+DSIR-style hashed-ngram importance weights and log-free TF-IDF search.
+Each is checked against an independent naive pure-Python reference, for
+layout invariance (block count must not change any value), and for the
+documented edge cases (short docs dropped, empty target slice)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _naive_buckets(text: str, k: int = 4, n_buckets: int = 64):
+    out = []
+    for i in range(len(text) - k + 1):
+        h = 0
+        for ch in text[i:i + k]:
+            h = h * 131 + ord(ch)
+        out.append(h % n_buckets)
+    return out
+
+
+def _naive_dsir(rows, target_val, k=4, n_buckets=64):
+    c_r = np.zeros(n_buckets, dtype=np.int64)
+    c_t = np.zeros(n_buckets, dtype=np.int64)
+    per = {}
+    for did, lang, text in rows:
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for b in _naive_buckets(text, k, n_buckets):
+            counts[b] += 1
+        per[did] = counts
+        c_r += counts
+        if lang == target_val:
+            c_t += counts
+    d_r, d_t = int(c_r.sum()), int(c_t.sum())
+    recs = []
+    for did, lang, text in rows:
+        n = per[did]
+        den = int(n @ c_r)
+        if den == 0:
+            continue  # doc shorter than k chars: no grams
+        num = int(n @ c_t)
+        aff = (np.float64(num) / np.float64(den)) * (
+            np.float64(d_r) / np.float64(d_t))
+        recs.append((did, num, den, float(aff)))
+    return pd.DataFrame(recs, columns=["doc_id", "aff_num", "aff_den",
+                                       "affinity"])
+
+
+def _make_docs(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab_en = ["table", "scan", "merge", "fast", "query", "row"]
+    vocab_zh = ["数据", "清洗", "中文", "语料", "过滤", "质量"]
+    rows = []
+    for i in range(n):
+        lang = "zh" if i % 3 == 0 else "en"
+        vocab = vocab_zh if lang == "zh" else vocab_en
+        words = rng.choice(vocab, size=int(rng.integers(4, 40)))
+        sep = "" if lang == "zh" else " "
+        rows.append((i, lang, sep.join(words)))
+    # edge cases: empty text, shorter-than-k text, mixed-script doc
+    rows.append((n, "en", ""))
+    rows.append((n + 1, "zh", "中文语料"))
+    rows.append((n + 2, "en", "fast 数据 scan 清洗"))
+    return rows
+
+
+def test_dsir_weights_match_naive_bitwise(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+    rows = _make_docs()
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    want = _naive_dsir(rows, "zh")
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = dsir_weights(ds, target_col="lang", target_val="zh",
+                           id_col="doc_id").to_pandas()
+        assert list(got.columns) == ["doc_id", "aff_num", "aff_den",
+                                     "affinity"]
+        assert np.array_equal(got["doc_id"].to_numpy(),
+                              want["doc_id"].to_numpy())
+        assert np.array_equal(got["aff_num"].to_numpy(),
+                              want["aff_num"].to_numpy())
+        assert np.array_equal(got["aff_den"].to_numpy(),
+                              want["aff_den"].to_numpy())
+        assert np.array_equal(
+            got["affinity"].to_numpy().view(np.int64),
+            want["affinity"].to_numpy().view(np.int64)), \
+            "affinity must be bitwise-stable across layouts"
+
+
+def test_dsir_weights_separate_target_from_raw(ray_session):
+    """zh docs must score affinity > 1 (their gram mass sits in buckets
+    over-represented in the target) and pure-en docs < 1 on the synthetic
+    two-vocabulary corpus; the weighted mean affinity over all grams is 1
+    by construction."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+    rows = [r for r in _make_docs() if r[2]]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    got = dsir_weights(ray.data.from_arrow(tbl), target_col="lang",
+                       target_val="zh").to_pandas()
+    lang = {r[0]: r[1] for r in rows}
+    pure = got[got["doc_id"] < 120]  # exclude the mixed-script edge doc
+    zh = pure[[lang[d] == "zh" for d in pure["doc_id"]]]
+    en = pure[[lang[d] == "en" for d in pure["doc_id"]]]
+    # bucket collisions (64 buckets) can push individual docs across 1.0,
+    # but the populations must separate cleanly
+    assert (zh["affinity"] > 1.0).mean() >= 0.9
+    assert (en["affinity"] < 1.0).mean() >= 0.9
+    assert zh["affinity"].mean() > 1.2
+    assert en["affinity"].mean() < 0.9
+    # short-but-valid doc (len == k) survives; empty doc is dropped
+    assert 121 in set(got["doc_id"])
+    assert 120 not in set(got["doc_id"])
+
+
+def test_dsir_weights_empty_target_slice(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "en"]),
+        "text": pa.array(["fast table scan", "merge query rows"]),
+    })
+    got = dsir_weights(ray.data.from_arrow(tbl), target_col="lang",
+                       target_val="zh").to_pandas()
+    assert (got["aff_num"] == 0).all()
+    assert (got["affinity"] == 0.0).all()
+
+
+def _naive_tfidf(rows, query, k=4, top=10, scale=1000):
+    grams = sorted({query[i:i + k] for i in range(len(query) - k + 1)})
+    n = len(rows)
+    tf = {}
+    for did, text in rows:
+        for j in range(len(text) - k + 1):
+            g = text[j:j + k]
+            if g in grams:
+                tf[(did, g)] = tf.get((did, g), 0) + 1
+    df = {}
+    for (did, g) in tf:
+        df[g] = df.get(g, 0) + 1
+    scores = {}
+    for (did, g), t in tf.items():
+        scores[did] = scores.get(did, 0) + t * ((scale * n) // df[g])
+    recs = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return pd.DataFrame(recs, columns=["doc_id", "score"])
+
+
+def test_tfidf_search_matches_naive(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import tfidf_search
+
+    rows = [(r[0], r[2]) for r in _make_docs(seed=11) if r[2]]
+    query = "fast table scan"
+    want = _naive_tfidf(rows, query)
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    })
+    for blocks in (1, 5):
+        got = tfidf_search(ray.data.from_arrow(tbl).repartition(blocks),
+                           query, id_col="doc_id").to_pandas()
+        assert got[["doc_id", "score"]].to_numpy().tolist() == \
+            want.to_numpy().tolist()
+
+
+def test_tfidf_search_rejects_short_query(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import tfidf_search
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "abcd"}])
+    with pytest.raises(ValueError):
+        tfidf_search(ds, "abc")
