@@ -1600,6 +1600,20 @@ def _q_emb_cosine_dedup(sf_dir: str):
     )
 
 
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup: k-means-clustered embedding dedup, keep-outlier rule. No
+    SQL oracle (approximate by nature); recall vs the exact all-pairs truth
+    is quantified in tests/test_relevance.py."""
+    from chinese_corpus_cleaning_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    deduped, _ = semdedup(ds, threshold=0.95)
+    return (
+        deduped.select_columns(["vec_id"]).to_pandas()
+        .sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic LCG hash sample (bit-reproducible, SQL-oracled)."""
     from chinese_corpus_cleaning_ray.stages.analysis import sample_by_hash
@@ -2462,6 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_clustered": _q_doc_quality_clustered,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "emb_cosine_dedup": _q_emb_cosine_dedup,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_dbscan_clusters": _q_emb_dbscan_clusters,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,

@@ -492,3 +492,87 @@ def embedding_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     )
     return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
                        broadcast_limit=broadcast_limit)
+
+def semdedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+             threshold: float = 0.85, n_clusters: int | None = None,
+             target_cluster_rows: int = 512, sample_size: int = 10_000,
+             iters: int = 10, seed: int = 42, shards: int = 256,
+             strategy: str = "auto", broadcast_limit: int = 2_000_000,
+             num_rows_hint: int | None = None):
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering of
+    embeddings, then a within-cluster cosine prune. Differs from
+    ``embedding_dedup``'s LSH buckets in two ways that follow the paper:
+
+    * clusters come from a k-means coarse quantizer (trained on a
+      deterministic hash sample, centroids broadcast once) — semantically
+      coherent groups instead of random-hyperplane cells;
+    * within a duplicate group the KEPT row is the one FARTHEST from its
+      cluster centroid (the paper's "keep outliers" rule, preserving
+      diversity): rows are scanned in (centroid-cosine ASC, id ASC) order, so
+      the keeper-based scan keeps low-centroid-similarity rows first.
+
+    Same scale levers as embedding_dedup: ``n_clusters=None`` sizes the
+    codebook to ≈ n / target_cluster_rows (clamped to [4, 65536]); Ray groups
+    by a COARSE shard of the cluster id, never one group per cluster;
+    in-cluster cosine matrices are chunk-bounded by ``_bucket_keeper_dups``.
+    Like every approximate dedup here it has no SQL oracle — its recall is
+    quantified against the exact all-pairs truth in the tests. Returns
+    ``(deduped_ds, dup_ids_ds)``.
+    """
+    n_rows = num_rows_hint if num_rows_hint is not None else ds.count()
+    if n_clusters is None:
+        n_clusters = int(np.clip(n_rows // target_cluster_rows, 4, 65_536))
+    sample = _hash_sample(ds, id_col, n_rows, sample_size).to_pandas()
+    cent = train_kmeans(np.asarray(list(sample[vec_col]), dtype=np.float64),
+                        n_clusters, iters=iters, seed=seed)
+    try:
+        import ray
+
+        cent_ref = ray.put(cent)
+    except Exception:
+        cent_ref = cent
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = cent_ref
+        if "ObjectRef" in type(c).__name__:
+            c = _ray.get(c)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(assign.astype(np.int32)),
+            "cent_sim": pa.array(sims[np.arange(len(assign)), assign]),
+            "shard": pa.array((assign % shards).astype(np.int32)),
+            vec_col: batch.column(vec_col),
+        })
+
+    def mark(group: pa.Table) -> pa.Table:
+        # SemDeDup keep rule: scan farthest-from-centroid first, so the
+        # keeper retained out of each duplicate group is the cluster outlier
+        t = group.sort_by([("cluster", "ascending"),
+                           ("cent_sim", "ascending"),
+                           (id_col, "ascending")])
+        n = t.num_rows
+        clusters = t.column("cluster").to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(t, vec_col))
+        new_c = np.empty(n, dtype=bool)
+        new_c[0] = True
+        new_c[1:] = clusters[1:] != clusters[:-1]
+        starts = np.flatnonzero(new_c)
+        ends = np.append(starts[1:], n)
+        dup_mask = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                dup_mask[s:e] = _bucket_keeper_dups(m[s:e], threshold)
+        return t.select([id_col]).filter(pa.array(dup_mask))
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import anti_filter
+
+    dup_ids_ds = (ds.map_batches(add_cluster, batch_format="pyarrow")
+                  .groupby("shard")
+                  .map_groups(mark, batch_format="pyarrow"))
+    return anti_filter(ds, dup_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit)

@@ -191,3 +191,68 @@ def test_tfidf_search_rejects_short_query(ray_session):
     ds = ray.data.from_items([{"doc_id": 1, "text": "abcd"}])
     with pytest.raises(ValueError):
         tfidf_search(ds, "abc")
+
+
+def _planted_embeddings(n_groups=40, dup_per_group=3, dim=32, seed=13):
+    """Well-separated base vectors, each with near-copies at cosine > 0.97
+    (tiny jitter) — the planted all-pairs truth for semdedup recall."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, gids = [], []
+    vid = 0
+    rows = []
+    for g in range(n_groups):
+        for j in range(dup_per_group):
+            v = base[g] + rng.normal(scale=0.01, size=dim)
+            rows.append((vid, v / np.linalg.norm(v), g))
+            vid += 1
+    return rows
+
+
+def test_semdedup_collapses_planted_groups(ray_session):
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.similarity import semdedup
+
+    rows = _planted_embeddings()
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    deduped, dup_ids = semdedup(
+        ray.data.from_arrow(tbl), threshold=0.9, n_clusters=8,
+        sample_size=1000)
+    kept = sorted(deduped.to_pandas()["vec_id"])
+    group_of = {r[0]: r[2] for r in rows}
+    kept_groups = [group_of[v] for v in kept]
+    n_groups = len({r[2] for r in rows})
+    # every group must survive with AT LEAST one member (no over-deletion)...
+    assert len(set(kept_groups)) == n_groups
+    # ...and k-means clustering must catch nearly every planted duplicate
+    # (a group split across cluster boundaries can leak a dup — quantify)
+    n_dups_true = len(rows) - n_groups
+    n_dropped = len(rows) - len(kept)
+    assert n_dropped / n_dups_true >= 0.95, \
+        f"semdedup recall {n_dropped}/{n_dups_true} below 0.95"
+
+
+def test_semdedup_keeps_unique_vectors(ray_session):
+    """A corpus with no near-dups must pass through untouched (precision:
+    semdedup never deletes below-threshold rows, whatever the clustering)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(100, 24))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    deduped, _ = semdedup(ray.data.from_arrow(tbl), threshold=0.99,
+                          n_clusters=4, sample_size=1000)
+    assert sorted(deduped.to_pandas()["vec_id"]) == list(range(100))
