@@ -187,6 +187,35 @@ def main(argv: list[str] | None = None) -> int:
                     help="write (id, dup_chars, n_spans) instead of cutting")
     sd.add_argument("--num-cpus", type=int, default=None)
 
+    dw = sub.add_parser("dsir")
+    dw.add_argument("--input", required=True, help="parquet with id+text")
+    dw.add_argument("--output", required=True)
+    dw.add_argument("--id-col", default="doc_id")
+    dw.add_argument("--text-col", default="text")
+    dw.add_argument("--target-col", required=True,
+                    help="column selecting the target slice, e.g. lang")
+    dw.add_argument("--target-val", required=True)
+    dw.add_argument("--n-buckets", type=int, default=64)
+    dw.add_argument("--num-cpus", type=int, default=None)
+
+    se = sub.add_parser("search")
+    se.add_argument("--input", required=True, help="parquet with id+text")
+    se.add_argument("--query", required=True)
+    se.add_argument("--top", type=int, default=10)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--num-cpus", type=int, default=None)
+
+    sm = sub.add_parser("semdedup")
+    sm.add_argument("--input", required=True,
+                    help="parquet with id+embedding columns")
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--id-col", default="vec_id")
+    sm.add_argument("--vec-col", default="embedding")
+    sm.add_argument("--threshold", type=float, default=0.85)
+    sm.add_argument("--n-clusters", type=int, default=None)
+    sm.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -441,6 +470,64 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rows_kept": out.count(),
                               "rates_permyriad": rates,
                               "output": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "dsir":
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+            ds = rd.read_parquet(
+                args.input,
+                columns=[args.id_col, args.target_col, args.text_col])
+            out = dsir_weights(ds, target_col=args.target_col,
+                               target_val=args.target_val,
+                               text_col=args.text_col, id_col=args.id_col,
+                               n_buckets=args.n_buckets).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": out.count(), "out": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "search":
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.relevance import tfidf_search
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.text_col])
+            hits = tfidf_search(ds, args.query, text_col=args.text_col,
+                                id_col=args.id_col, top=args.top).to_pandas()
+            print(json.dumps({"hits": hits.to_dict(orient="records")}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "semdedup":
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.stages.similarity import semdedup
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.vec_col])
+            deduped, dup_ids = semdedup(
+                ds, id_col=args.id_col, vec_col=args.vec_col,
+                threshold=args.threshold, n_clusters=args.n_clusters)
+            deduped = deduped.materialize()
+            deduped.write_parquet(args.output)
+            print(json.dumps({"kept": deduped.count(), "out": args.output}))
             return 0
         finally:
             if owned:

@@ -256,3 +256,62 @@ def test_semdedup_keeps_unique_vectors(ray_session):
     deduped, _ = semdedup(ray.data.from_arrow(tbl), threshold=0.99,
                           n_clusters=4, sample_size=1000)
     assert sorted(deduped.to_pandas()["vec_id"]) == list(range(100))
+
+
+def test_cli_dsir_search_semdedup(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    rows = _make_docs(n=60)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    }), src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "dsir",
+         "--input", src, "--output", str(tmp_path / "w"),
+         "--target-col", "lang", "--target-val", "zh", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 62  # 63 docs minus the empty-text one
+    got = pq.read_table(str(tmp_path / "w"))
+    assert {"doc_id", "aff_num", "aff_den", "affinity"} <= \
+        set(got.column_names)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "search",
+         "--input", src, "--query", "fast table scan", "--top", "5",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert 0 < len(m["hits"]) <= 5
+    assert m["hits"][0]["score"] >= m["hits"][-1]["score"]
+
+    emb = _planted_embeddings(n_groups=10, dup_per_group=3)
+    esrc = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in emb],
+                              pa.list_(pa.float32())),
+    }), esrc)
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "semdedup",
+         "--input", esrc, "--output", str(tmp_path / "sd"),
+         "--threshold", "0.9", "--n-clusters", "4", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert 10 <= m["kept"] < 30
