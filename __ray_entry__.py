@@ -2263,6 +2263,22 @@ def _q_doc_dsir_weights(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_transcripts_dsir_weights(sf_dir: str):
+    """Transcripts-shape DSIR twin: per-turn affinity to the ASSISTANT-turn
+    gram distribution (the 'how assistant-like is this text' selection
+    signal). Same integer-exact kernel as doc_dsir_weights; the oracle
+    restates the role derivation (doc_id % 3 = 1 → assistant) inline."""
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_weights
+
+    ds = _transcripts_ds(sf_dir)
+    out = dsir_weights(ds, target_col="role", target_val="assistant",
+                       id_col="doc_id").to_pandas()
+    for c in ("doc_id", "aff_num", "aff_den"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "aff_num", "aff_den", "affinity"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 #: Fixed lexical-search probe for doc_tfidf_search — its distinct 4-grams
 #: are inlined as literals in the oracle SQL, so keep the two in sync.
 _TFIDF_QUERY = "fast table scan query"
@@ -2447,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantile_sketch": _q_events_value_quantile_sketch,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "doc_tfidf_search": _q_doc_tfidf_search,
+        "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
@@ -2562,6 +2579,35 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
                            CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT)
                                AS c_t
+                    FROM bux GROUP BY b),
+            gt AS (SELECT CAST(SUM(c_r) AS BIGINT) AS d_r,
+                          CAST(SUM(c_t) AS BIGINT) AS d_t FROM tot),
+            per AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM bux GROUP BY doc_id, b),
+            agg AS (SELECT doc_id, CAST(SUM(n * c_t) AS BIGINT) AS aff_num,
+                           CAST(SUM(n * c_r) AS BIGINT) AS aff_den
+                    FROM per JOIN tot USING (b) GROUP BY doc_id)
+            SELECT doc_id, aff_num, aff_den,
+                   (CAST(aff_num AS DOUBLE) / CAST(aff_den AS DOUBLE))
+                   * (CAST(d_r AS DOUBLE) / CAST(d_t AS DOUBLE)) AS affinity
+            FROM agg, gt ORDER BY doc_id
+        """,
+        # transcripts twin: target slice = assistant turns (doc_id % 3 = 1)
+        "transcripts_dsir_weights": """
+            WITH grams AS (
+              SELECT doc_id, (doc_id % 3 = 1) AS is_t,
+                     unnest([substr(text, CAST(i AS INTEGER), 4)
+                             for i in range(1, length(text) - 2)]) AS g
+              FROM documents),
+            bux AS (
+              SELECT doc_id, is_t,
+                     ((((unicode(substr(g, 1, 1)) * 131
+                         + unicode(substr(g, 2, 1))) * 131
+                        + unicode(substr(g, 3, 1))) * 131
+                       + unicode(substr(g, 4, 1))) % 64) AS b
+              FROM grams),
+            tot AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+                           CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS c_t
                     FROM bux GROUP BY b),
             gt AS (SELECT CAST(SUM(c_r) AS BIGINT) AS d_r,
                           CAST(SUM(c_t) AS BIGINT) AS d_t FROM tot),
