@@ -2279,6 +2279,21 @@ def _q_transcripts_dsir_weights(sf_dir: str):
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
 
 
+def _q_doc_dsir_sample(sf_dir: str):
+    """DSIR importance RESAMPLING: keep docs with probability ∝ affinity
+    (rate = floor(affinity·5000) permyriad, the sample_by_hash LCG coin).
+    Bit-exact: one IEEE multiply + floor on a bitwise-stable affinity."""
+    from chinese_corpus_cleaning_ray.stages.relevance import dsir_resample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = dsir_resample(ds, target_col="lang", target_val="zh",
+                        id_col="doc_id").to_pandas()
+    for c in ("doc_id", "rate"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "rate"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
 #: Fixed lexical-search probe for doc_tfidf_search — its distinct 4-grams
 #: are inlined as literals in the oracle SQL, so keep the two in sync.
 _TFIDF_QUERY = "fast table scan query"
@@ -2464,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir_weights,
         "doc_tfidf_search": _q_doc_tfidf_search,
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
+        "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
@@ -2591,6 +2607,46 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(aff_num AS DOUBLE) / CAST(aff_den AS DOUBLE))
                    * (CAST(d_r AS DOUBLE) / CAST(d_t AS DOUBLE)) AS affinity
             FROM agg, gt ORDER BY doc_id
+        """,
+        # importance resampling on top of the weights CTE: permyriad rate =
+        # floor(affinity*5000) (one exact IEEE multiply), sample_by_hash LCG
+        "doc_dsir_sample": """
+            WITH grams AS (
+              SELECT doc_id, lang,
+                     unnest([substr(text, CAST(i AS INTEGER), 4)
+                             for i in range(1, length(text) - 2)]) AS g
+              FROM documents),
+            bux AS (
+              SELECT doc_id, lang,
+                     ((((unicode(substr(g, 1, 1)) * 131
+                         + unicode(substr(g, 2, 1))) * 131
+                        + unicode(substr(g, 3, 1))) * 131
+                       + unicode(substr(g, 4, 1))) % 64) AS b
+              FROM grams),
+            tot AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+                           CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT)
+                               AS c_t
+                    FROM bux GROUP BY b),
+            gt AS (SELECT CAST(SUM(c_r) AS BIGINT) AS d_r,
+                          CAST(SUM(c_t) AS BIGINT) AS d_t FROM tot),
+            per AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM bux GROUP BY doc_id, b),
+            agg AS (SELECT doc_id, CAST(SUM(n * c_t) AS BIGINT) AS aff_num,
+                           CAST(SUM(n * c_r) AS BIGINT) AS aff_den
+                    FROM per JOIN tot USING (b) GROUP BY doc_id),
+            w AS (SELECT doc_id,
+                         (CAST(aff_num AS DOUBLE) / CAST(aff_den AS DOUBLE))
+                         * (CAST(d_r AS DOUBLE) / CAST(d_t AS DOUBLE))
+                             AS affinity
+                  FROM agg, gt),
+            r AS (SELECT doc_id,
+                         CAST(LEAST(GREATEST(FLOOR(affinity * 5000), 0),
+                                    10000) AS BIGINT) AS rate
+                  FROM w)
+            SELECT doc_id, rate FROM r
+            WHERE ((doc_id % 2147483648) * 1103515245 + 12345)
+                  % 2147483648 % 10000 < rate
+            ORDER BY doc_id
         """,
         # transcripts twin: target slice = assistant turns (doc_id % 3 = 1)
         "transcripts_dsir_weights": """

@@ -101,8 +101,9 @@ def dsir_weights(ds, target_col: str = "lang", target_val: str = "zh",
            .groupby("b").sum(["c_r", "c_t"]).to_pandas())
     c_r = np.zeros(n_buckets, dtype=np.int64)
     c_t = np.zeros(n_buckets, dtype=np.int64)
-    c_r[tot["b"].to_numpy()] = tot["sum(c_r)"].to_numpy()
-    c_t[tot["b"].to_numpy()] = tot["sum(c_t)"].to_numpy()
+    if len(tot):  # empty input: groupby returns a column-less empty frame
+        c_r[tot["b"].to_numpy()] = tot["sum(c_r)"].to_numpy()
+        c_t[tot["b"].to_numpy()] = tot["sum(c_t)"].to_numpy()
     d_r, d_t = int(c_r.sum()), int(c_t.sum())
     ratio = (float(d_r) / float(d_t)) if d_t else 0.0
 
@@ -177,6 +178,13 @@ def tfidf_search(ds, query: str, text_col: str = "text",
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
     dfs = pair_ds.groupby("g").count().to_pandas()  # df = rows per gram
+    if not len(dfs):  # no document matched any query gram
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }))
     idf = {g: (idf_scale * n_docs) // int(c)
            for g, c in zip(dfs["g"], dfs["count()"])}
 
@@ -199,3 +207,40 @@ def tfidf_search(ds, query: str, text_col: str = "text",
               .map_batches(finish, batch_format="pyarrow"))
     return scored.sort(["score", id_col], descending=[True, False]
                        ).limit(top)
+
+
+def dsir_resample(ds, target_col: str = "lang", target_val: str = "zh",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 4, n_buckets: int = 64,
+                  scale_permyriad: int = 5000):
+    """The "R" in DSIR — importance RESAMPLING: keep each document with
+    probability proportional to its target affinity. Deterministic and
+    bit-reproducible end to end:
+
+    * ``rate(d) = clamp(floor(affinity(d) · scale_permyriad), 0, 10000)``
+      — affinity is bitwise-stable (see ``dsir_weights``), and floor of one
+      IEEE multiply is exact, so both engines compute the same integer rate;
+    * keep iff ``LCG(id) % 10000 < rate`` — the same permyriad LCG coin as
+      ``sample_by_hash``/``mixture_sample``, so membership is layout- and
+      resume-invariant.
+
+    Expected sample composition matches the DSIR target-matching objective
+    to first order: docs twice as target-like are kept twice as often.
+    Returns ``(id, rate)`` for kept docs, sorted by id; adds one stateless
+    filter pass over the weights output (no extra text scan, no shuffle).
+    """
+    w = dsir_weights(ds, target_col=target_col, target_val=target_val,
+                     text_col=text_col, id_col=id_col, k=k,
+                     n_buckets=n_buckets)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        aff = batch.column("affinity").to_numpy(zero_copy_only=False)
+        rate = np.clip(np.floor(aff * np.float64(scale_permyriad)),
+                       0, 10_000).astype(np.int64)
+        coin = ((ids % 2**31) * 1103515245 + 12345) % 2**31 % 10_000
+        m = coin < rate
+        return pa.table({id_col: pa.array(ids[m]),
+                         "rate": pa.array(rate[m])})
+
+    return w.map_batches(keep, batch_format="pyarrow")

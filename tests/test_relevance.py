@@ -315,3 +315,76 @@ def test_cli_dsir_search_semdedup(tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     m = json.loads(out.stdout.strip().splitlines()[-1])
     assert 10 <= m["kept"] < 30
+
+
+def test_dsir_and_tfidf_degenerate_inputs(ray_session):
+    """Empty dataset and all-shorter-than-k corpora must yield empty/zero
+    results, not crashes (the round-5 empty-input discipline)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import (
+        dsir_weights,
+        tfidf_search,
+    )
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+    })
+    got = dsir_weights(ray.data.from_arrow(empty), target_col="lang",
+                       target_val="zh").to_pandas()
+    assert len(got) == 0
+
+    short = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["zh", "en"]),
+        "text": pa.array(["ab", ""]),
+    })
+    got = dsir_weights(ray.data.from_arrow(short), target_col="lang",
+                       target_val="zh").to_pandas()
+    assert len(got) == 0  # no doc has a 4-gram
+
+    got = tfidf_search(ray.data.from_arrow(empty.select(
+        ["doc_id", "text"])), "fast table").to_pandas()
+    assert len(got) == 0
+
+
+def test_dsir_resample_rate_tracks_affinity(ray_session):
+    """Kept docs carry rate = clamp(floor(affinity*5000), 0, 10000); zh docs
+    (affinity ≈ 1.8 on the two-vocabulary corpus) must be kept at a visibly
+    higher rate than en docs (affinity ≈ 0.38), and membership must be the
+    LCG coin exactly."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.relevance import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    rows = [r for r in _make_docs(n=300) if r[2]]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    w = dsir_weights(ds, target_col="lang", target_val="zh").to_pandas()
+    got = dsir_resample(ray.data.from_arrow(tbl), target_col="lang",
+                        target_val="zh").to_pandas()
+    # naive restatement: rate + LCG coin over the weights frame
+    rate = np.clip(np.floor(w["affinity"].to_numpy() * np.float64(5000)),
+                   0, 10000).astype(np.int64)
+    ids = w["doc_id"].to_numpy()
+    coin = ((ids % 2**31) * 1103515245 + 12345) % 2**31 % 10000
+    want = pd.DataFrame({"doc_id": ids[coin < rate],
+                         "rate": rate[coin < rate]})
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got.to_numpy().tolist() == want.to_numpy().tolist()
+    lang = {r[0]: r[1] for r in rows}
+    kept_langs = pd.Series([lang[d] for d in got["doc_id"]])
+    n_zh_in = sum(1 for r in rows if r[1] == "zh")
+    n_en_in = len(rows) - n_zh_in
+    zh_rate = (kept_langs == "zh").sum() / n_zh_in
+    en_rate = (kept_langs == "en").sum() / n_en_in
+    assert zh_rate > 2 * en_rate, (zh_rate, en_rate)
