@@ -2415,11 +2415,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
       survive even a smaller window;
     - positions 17–50: oracled queries already driver-green in r04, plus
       the round-5 second-wave additions (heavy hitters, quantile sketch,
-      substring dedup, incremental substring) — each displaced one
-      r04-green sibling to tier 3;
+      substring dedup, incremental substring) and the wave-3 data-selection
+      suite (doc/transcripts DSIR weights, DSIR resample, TF-IDF search) —
+      each displaced one r04-green sibling/staple to tier 3
+      (agg_pricing_summary, topk_users_by_events,
+      events_value_quantiles_per_type, doc_token_stats, doc_contamination);
     - tier 3 (after 50): oracled VARIANTS / displaced siblings (by-source,
-      keeper, bloom, sliding-window, sample/shuffle/split/quantile twins),
-      all driver-green in r04 and still pytest-oracled at 3 SFs;
+      keeper, bloom, sliding-window, sample/shuffle/split/quantile twins,
+      and the five displaced r04-green staples above), all driver-green in
+      r04 and still pytest-oracled at 3 SFs;
     - tail: the no-oracle approximate/stateful queries (rows-only check
       by design)."""
     return {
@@ -2443,14 +2447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
         # -- tier 2: oracled, driver-green in r04 --
-        "agg_pricing_summary": _q_pricing_summary,
-        "topk_users_by_events": _q_topk_users,
         "join_orders_by_nation": _q_orders_by_nation,
-        "events_value_quantiles_per_type": _q_events_value_quantiles_per_type,
         "events_topk_per_type": _q_events_topk_per_type,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
-        "doc_token_stats": _q_doc_token_stats,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2459,7 +2459,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_top_ngrams": _q_doc_top_ngrams,
-        "doc_contamination": _q_doc_contamination,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
@@ -2481,6 +2480,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "agg_pricing_summary": _q_pricing_summary,
+        "topk_users_by_events": _q_topk_users,
+        "events_value_quantiles_per_type": _q_events_value_quantiles_per_type,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_contamination": _q_doc_contamination,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_sample": _q_doc_sample,
         "events_hourly": _q_events_hourly,
