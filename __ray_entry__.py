@@ -829,6 +829,77 @@ def _q_transcripts_role_check(sf_dir: str):
     return df
 
 
+def _q_transcripts_prefix_dedup(sf_dir: str):
+    """Cross-conversation PREFIX dedup (rerun collapse): conversations whose
+    first 3 turns carry identical (role, text) are duplicates; keep the
+    min-conv_id one. The derived transcripts have unique texts, so the query
+    injects shared prefixes deterministically: every conversation with
+    conv number % 5 == 2 gets its first-3-turn texts replaced by a template
+    keyed only by role — those conversations then collide by their role
+    sequence (conv % 3 class). Mirrors
+    pipelines/conversations.py:conversation_prefix_dedup."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_prefix_dedup,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        mask = pa.array(((doc % 97) % 5 == 2) & (turn < 3))
+        tpl = pc.binary_join_element_wise(
+            pa.array(["PFX-"] * batch.num_rows, pa.string()),
+            batch.column("role"), "")
+        text = pc.if_else(mask, tpl, batch.column("text"))
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text)
+
+    out = conversation_prefix_dedup(
+        ds.map_batches(inject, batch_format="pyarrow"), k=3)
+    df = out.to_pandas().sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    df["n_prefix_turns"] = df["n_prefix_turns"].astype("int64")
+    return df
+
+
+def _q_transcripts_tool_stats(sf_dir: str):
+    """Tool-transition matrix (Markov fingerprint of agent tool usage):
+    global (prev_tool, tool) counts among tool turns, lag within each
+    conversation by turn_idx. The derived transcripts carry a single tool
+    name, so the query diversifies it deterministically by doc_id % 12
+    (tool turns are doc_id % 3 == 2, i.e. residues 2/5/8/11). Mirrors
+    pipelines/conversations.py:tool_transition_counts."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        tool_transition_counts,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+    names = {2: "db_query", 5: "web_search", 8: "code_exec", 11: "file_read"}
+
+    def diversify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        named = pa.array([names.get(r, "file_read") for r in doc % 12],
+                         pa.string())
+        tool = pc.if_else(pa.array(doc % 3 == 2), named,
+                          pa.array([""] * batch.num_rows, pa.string()))
+        return batch.set_column(
+            batch.schema.get_field_index("tool"), "tool", tool)
+
+    out = tool_transition_counts(ds.map_batches(diversify, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values(["prev_tool", "tool"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -2446,9 +2517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_keep_full": _q_transcripts_conv_keep_full,
         "transcripts_langid": _q_transcripts_langid,
         "transcripts_quality": _q_transcripts_quality,
+        "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
+        "transcripts_tool_stats": _q_transcripts_tool_stats,
         # -- tier 2: oracled, driver-green in r04 --
-        "join_orders_by_nation": _q_orders_by_nation,
-        "events_topk_per_type": _q_events_topk_per_type,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -2480,6 +2551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "join_orders_by_nation": _q_orders_by_nation,
+        "events_topk_per_type": _q_events_topk_per_type,
         "agg_pricing_summary": _q_pricing_summary,
         "topk_users_by_events": _q_topk_users,
         "events_value_quantiles_per_type": _q_events_value_quantiles_per_type,
@@ -3734,6 +3807,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM e)
             SELECT conv_id, turn_idx, doc_id FROM r WHERE rn = 1
             ORDER BY conv_id, turn_idx
+        """,
+        # cross-conversation prefix dedup over template-injected transcripts:
+        # prefix = string_agg of (role,text) over the first-3-ranked turns;
+        # keeper = min conv_id per prefix — mirrors
+        # pipelines/conversations.py:conversation_prefix_dedup
+        "transcripts_prefix_dedup": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role,
+                              CASE WHEN doc_id % 97 % 5 = 2 AND turn_idx < 3
+                                   THEN 'PFX-' || role ELSE text END AS text
+                       FROM t),
+                 r AS (SELECT conv_id, turn_idx, role, text,
+                              row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS rn
+                       FROM e),
+                 pref AS (SELECT conv_id,
+                                 CAST(COUNT(*) AS BIGINT) AS n_prefix_turns,
+                                 string_agg(role || chr(30) || text, chr(31)
+                                            ORDER BY turn_idx) AS prefix
+                          FROM r WHERE rn <= 3 GROUP BY conv_id)
+            SELECT conv_id, n_prefix_turns,
+                   conv_id = min(conv_id) OVER (PARTITION BY prefix) AS keep,
+                   min(conv_id) OVER (PARTITION BY prefix) AS keeper_conv_id
+            FROM pref ORDER BY conv_id
+        """,
+        # tool-transition matrix over diversified tool names: lag(tool) within
+        # conversation among tool turns only — mirrors
+        # pipelines/conversations.py:tool_transition_counts
+        "transcripts_tool_stats": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              CASE doc_id % 12 WHEN 2 THEN 'db_query'
+                                   WHEN 5 THEN 'web_search'
+                                   WHEN 8 THEN 'code_exec'
+                                   ELSE 'file_read' END AS tool
+                       FROM t WHERE doc_id % 3 = 2),
+                 seq AS (SELECT tool,
+                                coalesce(lag(tool) OVER (PARTITION BY conv_id
+                                                         ORDER BY turn_idx),
+                                         '') AS prev_tool
+                         FROM e)
+            SELECT prev_tool, tool, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq GROUP BY prev_tool, tool ORDER BY prev_tool, tool
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}

@@ -98,7 +98,8 @@ def run_bench() -> dict:
                      "events_value_quantiles_per_type", "doc_quality_probe",
                      "doc_probe_scores", "doc_incremental_substring",
                      "doc_dsir_weights", "doc_tfidf_search",
-                     "transcripts_dsir_weights"):
+                     "transcripts_dsir_weights", "transcripts_prefix_dedup",
+                     "transcripts_tool_stats"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -521,3 +521,175 @@ def conversation_role_check(ds, shards: int = 256):
         .groupby("__shard")
         .map_groups(check, batch_format="pandas")
     )
+
+
+def conversation_prefix_dedup(ds, k: int = 3, text_col: str = "text",
+                              shards: int = 256):
+    """Cross-conversation PREFIX dedup: two conversations are duplicates when
+    their first ``k`` turns (rank by ``turn_idx``) carry identical
+    (role, text) sequences — the dominant duplication mode in agent
+    transcripts, where reruns share a verbatim system-prompt + task prefix
+    and diverge only in the tail. Keeps the min-``conv_id`` conversation of
+    each prefix group and labels every conversation.
+
+    Exact semantics (bit-restatable in SQL): prefix(conv) =
+    string_agg(role || US1 || text, US2 ORDER BY turn_idx) over the rows
+    with row_number() ≤ k; keeper(conv) = min(conv_id) OVER
+    (PARTITION BY prefix). Conversations with fewer than ``k`` turns use
+    all their turns — the separator-joined encoding keeps a 2-turn prefix
+    from ever colliding with the first 2 turns of a 3-turn prefix.
+
+    Output: one row per conversation
+    (conv_id, n_prefix_turns, keep, keeper_conv_id), no particular order.
+
+    Plan (two bounded shuffles, document text never ships in full):
+    1. per-batch pre-prune: keep only each conversation's k smallest-
+       turn_idx rows IN THIS BATCH (a superset of the global first-k, since
+       the global first-k is contained in the union of batch-local
+       first-k) — so the conv-shard shuffle moves ≤ k rows per conversation
+       per batch it appears in, not the whole transcript;
+    2. conv-hash shard → per-shard vectorized first-k + prefix build
+       (one row per conversation leaves this stage);
+    3. prefix-content-hash shard → per-shard keep-first on the EXACT prefix
+       string (the hash only routes; a collision can never merge distinct
+       prefixes), same discipline as ``stages.dedup_stage.exact_dedup``.
+    """
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    U1, U2 = "\x1e", "\x1f"  # role/text and turn/turn separators
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sub = pd.DataFrame({
+            "conv_id": batch.column("conv_id").to_pylist(),
+            "turn_idx": batch.column("turn_idx").to_numpy(zero_copy_only=False),
+            "role": batch.column("role").to_pylist(),
+            "__text": batch.column(text_col).to_pylist(),
+        })
+        if len(sub):
+            sub = sub.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            sub = sub[sub.groupby("conv_id", sort=False).cumcount() < k]
+        sh = (pd.util.hash_pandas_object(sub["conv_id"], index=False)
+              .to_numpy() % np.uint64(shards)).astype(np.int32)
+        t = pa.Table.from_pandas(sub.assign(__shard=sh), preserve_index=False)
+        return t.set_column(t.schema.get_field_index("turn_idx"), "turn_idx",
+                            pc.cast(t.column("turn_idx"), pa.int64()))
+
+    def build_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_prefix_turns": pd.Series([], dtype=np.int64),
+                                 "__prefix": pd.Series([], dtype=object)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = g[g.groupby("conv_id", sort=False).cumcount() < k]
+        seg = g["role"].astype(str) + U1 + g["__text"].astype(str)
+        agg = (pd.DataFrame({"conv_id": g["conv_id"], "seg": seg})
+               .groupby("conv_id", sort=False)["seg"]
+               .agg([("__prefix", U2.join), ("n_prefix_turns", "size")])
+               .reset_index())
+        agg["n_prefix_turns"] = agg["n_prefix_turns"].astype(np.int64)
+        return agg[["conv_id", "n_prefix_turns", "__prefix"]]
+
+    prefixes = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(build_prefix, batch_format="pandas")
+    )
+
+    def add_prefix_shard(batch: pa.Table) -> pa.Table:
+        from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+            text_hash64_column,
+        )
+
+        hashes = np.asarray(text_hash64_column(batch.column("__prefix")),
+                            dtype=np.int64)
+        sh = (hashes & np.int64(shards - 1)).astype(np.int32)
+        return batch.append_column("__pshard", pa.array(sh))
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_prefix_turns": pd.Series([], dtype=np.int64),
+                                 "keep": pd.Series([], dtype=bool),
+                                 "keeper_conv_id": pd.Series([], dtype=object)})
+        g = g.sort_values(["conv_id"], kind="mergesort")
+        # keeper = first conv_id per EXACT prefix (hash only routed the shard)
+        g["keeper_conv_id"] = g.groupby("__prefix", sort=False)["conv_id"].transform("first")
+        g["keep"] = g["conv_id"] == g["keeper_conv_id"]
+        g["n_prefix_turns"] = g["n_prefix_turns"].astype(np.int64)
+        return g[["conv_id", "n_prefix_turns", "keep", "keeper_conv_id"]]
+
+    return (
+        prefixes.map_batches(add_prefix_shard, batch_format="pyarrow")
+        .groupby("__pshard")
+        .map_groups(label, batch_format="pandas")
+    )
+
+
+def tool_transition_counts(ds, tool_col: str = "tool", shards: int = 256):
+    """Tool-transition matrix over agent transcripts: among tool-call turns
+    (``tool_col`` non-empty), count global (prev_tool, tool) transitions
+    within each conversation in ``turn_idx`` order; a conversation's FIRST
+    tool call transitions from ``''``. The result is the Markov-style
+    tool-usage fingerprint of a corpus (which tool follows which), the
+    transcript-native analogue of the events funnel.
+
+    Exact semantics (bit-restatable in SQL): prev_tool =
+    coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx), '')
+    over rows WHERE tool <> ''.
+
+    Output: (prev_tool, tool, n:int64), no particular order.
+
+    Plan: non-tool rows (and the text column) are dropped AT THE SCAN —
+    the only shuffle moves (conv_id, turn_idx, tool) for tool turns only;
+    conv-hash shard so a conversation's calls land whole; per-shard
+    vectorized lag (sort + same-conv shift) emits PARTIAL (prev, tool)
+    counts; a tiny global groupby-sum over ≤ shards × |tool-pairs| partial
+    rows finishes. Driver traffic: none."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch.column(tool_col), ""))
+        keys = pd.Series(b.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": pc.cast(b.column("turn_idx"), pa.int64()),
+            "tool": pc.cast(b.column(tool_col), pa.string()),
+            "__shard": pa.array(sh),
+        })
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"prev_tool": pd.Series([], dtype=object),
+                                 "tool": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        prev = np.empty(len(g), dtype=object)
+        prev[0] = ""
+        same = conv[1:] == conv[:-1]
+        prev[1:] = np.where(same, tool[:-1], "")
+        out = (pd.DataFrame({"prev_tool": prev, "tool": tool})
+               .groupby(["prev_tool", "tool"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(partial_counts, batch_format="pandas")
+        .groupby(["prev_tool", "tool"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -99,6 +99,7 @@ def test_oracle_keys_subset(entry_mod):
     "doc_token_stats", "doc_exact_dedup", "doc_distinct_sources", "knn_brute",
     "transcripts_rule_metrics", "transcripts_langid",
     "transcripts_conversation_stats", "events_sessionize",
+    "transcripts_prefix_dedup", "transcripts_tool_stats",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _to_df(entry_mod.queries()[name](SF_DIR))

@@ -1047,3 +1047,122 @@ def test_bucket_quantiles_by_key(ray_session):
                                     "k", "v", qs=(0.5, 0.99),
                                     width=2.0).to_pandas()
     assert got.equals(again)
+
+
+class TestConversationPrefixDedup:
+    """conversation_prefix_dedup: first-k-turn (role, text) prefix groups,
+    keep min conv_id; short conversations never collide with longer ones."""
+
+    @staticmethod
+    def _ds(override_num_blocks=None):
+        import ray
+
+        rows = []
+        # a,b share an identical 3-turn prefix; c diverges at turn 2;
+        # d is a 2-turn conv equal to a's first 2 turns (must NOT collide);
+        # e duplicates d's 2-turn prefix (must collide with d, keeper d)
+        for cid, texts in [("a", ["sys", "task", "go", "tail-a"]),
+                           ("b", ["sys", "task", "go", "tail-b", "zz"]),
+                           ("c", ["sys", "task", "NO", "x"]),
+                           ("d", ["sys", "task"]),
+                           ("e", ["sys", "task"])]:
+            for i, t in enumerate(texts):
+                rows.append({"conv_id": cid, "turn_idx": i,
+                             "role": ["user", "assistant"][i % 2], "text": t})
+        kw = {}
+        if override_num_blocks:
+            kw["override_num_blocks"] = override_num_blocks
+        return ray.data.from_items(rows, **kw)
+
+    def test_planted_groups(self, ray_session):
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_prefix_dedup,
+        )
+
+        out = (conversation_prefix_dedup(self._ds(), k=3).to_pandas()
+               .sort_values("conv_id").reset_index(drop=True))
+        assert list(out["conv_id"]) == ["a", "b", "c", "d", "e"]
+        assert list(out["keep"]) == [True, False, True, True, False]
+        assert list(out["keeper_conv_id"]) == ["a", "a", "c", "d", "d"]
+        assert list(out["n_prefix_turns"]) == [3, 3, 3, 2, 2]
+
+    def test_layout_invariance(self, ray_session):
+        """Identical result whether a conversation's turns arrive in one
+        block or split across many (batch-local pre-prune is a superset of
+        the global first-k)."""
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_prefix_dedup,
+        )
+
+        a = (conversation_prefix_dedup(self._ds(), k=3).to_pandas()
+             .sort_values("conv_id").reset_index(drop=True))
+        b = (conversation_prefix_dedup(self._ds(override_num_blocks=17), k=3)
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_bad_args(self, ray_session):
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_prefix_dedup,
+        )
+
+        with pytest.raises(ValueError):
+            conversation_prefix_dedup(self._ds(), k=0)
+        with pytest.raises(ValueError):
+            conversation_prefix_dedup(self._ds(), k=3, shards=100)
+
+    def test_empty_input(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_prefix_dedup,
+            tool_transition_counts,
+        )
+
+        empty = ray.data.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string())}))
+        assert len(conversation_prefix_dedup(empty, k=3).to_pandas()) == 0
+        assert len(tool_transition_counts(empty).to_pandas()) == 0
+
+
+class TestToolTransitionCounts:
+    def test_planted_transitions(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            tool_transition_counts,
+        )
+
+        rows = []
+        # conv x: tools at turns 1,3,5 = db, web, db (non-tool turns between)
+        for i, tool in enumerate(["", "db", "", "web", "", "db"]):
+            rows.append({"conv_id": "x", "turn_idx": i, "role": "tool",
+                         "text": "t", "tool": tool})
+        # conv y: one tool call only
+        rows.append({"conv_id": "y", "turn_idx": 0, "role": "tool",
+                     "text": "t", "tool": "web"})
+        out = (tool_transition_counts(ray.data.from_items(rows)).to_pandas()
+               .sort_values(["prev_tool", "tool"]).reset_index(drop=True))
+        got = {(r.prev_tool, r.tool): r.n for r in out.itertuples()}
+        assert got == {("", "db"): 1, ("", "web"): 1,
+                       ("db", "web"): 1, ("web", "db"): 1}
+
+    def test_layout_invariance(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            tool_transition_counts,
+        )
+
+        rows = [{"conv_id": f"c{j % 7}", "turn_idx": j, "role": "tool",
+                 "text": "t", "tool": ["", "a", "b"][j % 3]}
+                for j in range(200)]
+        a = (tool_transition_counts(ray.data.from_items(rows)).to_pandas()
+             .sort_values(["prev_tool", "tool"]).reset_index(drop=True))
+        b = (tool_transition_counts(
+                ray.data.from_items(rows, override_num_blocks=23)).to_pandas()
+             .sort_values(["prev_tool", "tool"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
