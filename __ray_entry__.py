@@ -900,6 +900,37 @@ def _q_transcripts_tool_stats(sf_dir: str):
     return df
 
 
+def _q_transcripts_sft_pairs(sf_dir: str):
+    """SFT example export: one (context, target) row per assistant turn,
+    context = up to 3 preceding turns rendered 'role: text'. Mirrors
+    pipelines/conversations.py:build_sft_pairs."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        build_sft_pairs,
+    )
+
+    out = build_sft_pairs(_transcripts_ds(sf_dir), context_turns=3)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df
+
+
+def _q_transcripts_context_clip(sf_dir: str):
+    """Context-window clipping: keep the longest per-conversation turn
+    SUFFIX fitting an 800-char budget. Mirrors
+    pipelines/conversations.py:clip_context_budget."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        clip_context_budget,
+    )
+
+    out = clip_context_budget(_transcripts_ds(sf_dir), budget_chars=800)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["suffix_chars"] = df["suffix_chars"].astype("int64")
+    return df
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -2519,9 +2550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_quality": _q_transcripts_quality,
         "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
+        "transcripts_sft_pairs": _q_transcripts_sft_pairs,
+        "transcripts_context_clip": _q_transcripts_context_clip,
         # -- tier 2: oracled, driver-green in r04 --
-        "doc_rule_metrics": _q_doc_rule_metrics,
-        "doc_langid": _q_doc_langid,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2551,6 +2582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_rule_metrics": _q_doc_rule_metrics,
+        "doc_langid": _q_doc_langid,
         "join_orders_by_nation": _q_orders_by_nation,
         "events_topk_per_type": _q_events_topk_per_type,
         "agg_pricing_summary": _q_pricing_summary,
@@ -3850,6 +3883,35 @@ def oracle_sql() -> dict[str, str]:
                          FROM e)
             SELECT prev_tool, tool, CAST(COUNT(*) AS BIGINT) AS n
             FROM seq GROUP BY prev_tool, tool ORDER BY prev_tool, tool
+        """,
+        # SFT example export: windowed string_agg over the 3 preceding turns,
+        # assistant rows only — mirrors
+        # pipelines/conversations.py:build_sft_pairs
+        "transcripts_sft_pairs": f"""
+            WITH t AS ({_DERIVE_SQL})
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '')
+                       AS context,
+                   text AS target
+            FROM t QUALIFY role = 'assistant'
+            ORDER BY conv_id, turn_idx
+        """,
+        # context clipping: reverse per-conversation running char total; keep
+        # the suffix within budget — mirrors
+        # pipelines/conversations.py:clip_context_budget
+        "transcripts_context_clip": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 w AS (SELECT conv_id, turn_idx,
+                              SUM(length(text)) OVER (
+                                  PARTITION BY conv_id ORDER BY turn_idx DESC
+                                  ROWS UNBOUNDED PRECEDING) AS suffix_chars
+                       FROM t)
+            SELECT conv_id, turn_idx,
+                   CAST(suffix_chars AS BIGINT) AS suffix_chars,
+                   suffix_chars <= 800 AS keep
+            FROM w ORDER BY conv_id, turn_idx
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}

@@ -693,3 +693,136 @@ def tool_transition_counts(ds, tool_col: str = "tool", shards: int = 256):
         .groupby(["prev_tool", "tool"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def build_sft_pairs(ds, context_turns: int = 3, shards: int = 256,
+                    sep: str = "\n"):
+    """Render transcripts into supervised fine-tuning examples: one row per
+    ASSISTANT turn with ``context`` = the up-to-``context_turns`` preceding
+    turns of the same conversation formatted ``role: text`` and joined by
+    ``sep`` (oldest first), and ``target`` = the assistant turn's text. The
+    transcript-native exporter every SFT data pipeline ends in.
+
+    Exact semantics (bit-restatable in SQL): context =
+    coalesce(string_agg(role || ': ' || text, sep) OVER (PARTITION BY
+    conv_id ORDER BY turn_idx ROWS BETWEEN context_turns PRECEDING AND
+    1 PRECEDING), '') filtered to role = 'assistant'.
+
+    Output: (conv_id, turn_idx, context, target), no particular order.
+
+    Plan: one conv-hash-shard shuffle (text ships exactly once — it IS the
+    output); per-shard kernel is ``context_turns`` vectorized shift+mask
+    accumulations over the (conv_id, turn_idx)-sorted frame — no per-row
+    Python, no per-conversation groups."""
+
+    if context_turns < 1:
+        raise ValueError(f"context_turns must be >= 1; got {context_turns}")
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "role": batch.column("role"),
+            "text": batch.column("text"),
+            "__shard": pa.array(sh),
+        })
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int64),
+                                 "context": pd.Series([], dtype=object),
+                                 "target": pd.Series([], dtype=object)})
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        seg = (g["role"].astype(str) + ": " + g["text"].astype(str))
+        ctx = pd.Series([""] * len(g))
+        # accumulate oldest-first: offset context_turns .. 1
+        for o in range(context_turns, 0, -1):
+            piece = seg.shift(o)
+            same = np.zeros(len(g), dtype=bool)
+            same[o:] = conv[o:] == conv[:-o]
+            have = same & piece.notna().to_numpy()
+            joiner = np.where((ctx.to_numpy() != "") & have, sep, "")
+            ctx = ctx + pd.Series(joiner) + piece.where(
+                pd.Series(have), "").fillna("")
+        out = pd.DataFrame({"conv_id": conv, "turn_idx": g["turn_idx"],
+                            "context": ctx, "target": g["text"]})
+        out = out[g["role"].to_numpy() == "assistant"].reset_index(drop=True)
+        out["turn_idx"] = out["turn_idx"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(render, batch_format="pandas")
+    )
+
+
+def clip_context_budget(ds, budget_chars: int, shards: int = 256):
+    """Context-window clipping: per conversation, label the LONGEST SUFFIX of
+    turns whose cumulative character count fits ``budget_chars`` — the
+    keep-the-recent-turns truncation every bounded-context trainer applies.
+    A turn is kept iff the total chars from it through the conversation's
+    END is within budget (so kept turns are exactly a suffix; a single
+    oversized final turn drops everything including itself).
+
+    Exact semantics (bit-restatable in SQL): suffix_chars =
+    SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+    ROWS UNBOUNDED PRECEDING); keep = suffix_chars <= budget_chars.
+
+    Output: (conv_id, turn_idx, suffix_chars:int64, keep:bool) — one row
+    per turn, no particular order.
+
+    Plan: text never shuffles — the prep stage reduces each turn to its
+    utf8 length at the scan, so the conv-shard exchange moves three
+    integers + conv_id per turn; the per-shard kernel is one sort + one
+    groupby-cumsum."""
+    import pyarrow.compute as pc
+
+    if budget_chars < 0:
+        raise ValueError(f"budget_chars must be >= 0; got {budget_chars}")
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "__n": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            "__shard": pa.array(sh),
+        })
+
+    def clip(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int64),
+                                 "suffix_chars": pd.Series([], dtype=np.int64),
+                                 "keep": pd.Series([], dtype=bool)})
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("conv_id", sort=False)["__n"]
+        suffix = (grp.transform("sum") - grp.cumsum() + g["__n"]).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"].astype(np.int64),
+            "suffix_chars": suffix,
+            "keep": suffix <= budget_chars,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(clip, batch_format="pandas")
+    )

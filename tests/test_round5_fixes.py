@@ -1166,3 +1166,96 @@ class TestToolTransitionCounts:
                 ray.data.from_items(rows, override_num_blocks=23)).to_pandas()
              .sort_values(["prev_tool", "tool"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+class TestSftPairsAndContextClip:
+    @staticmethod
+    def _ds(override_num_blocks=None):
+        import ray
+
+        rows = []
+        for cid, turns in [
+            ("a", [("user", "q1"), ("assistant", "a1"), ("user", "q2"),
+                   ("tool", "t3"), ("assistant", "a4")]),
+            ("b", [("assistant", "solo")]),
+        ]:
+            for i, (role, text) in enumerate(turns):
+                rows.append({"conv_id": cid, "turn_idx": i, "role": role,
+                             "text": text, "tool": ""})
+        kw = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+        return ray.data.from_items(rows, **kw)
+
+    def test_sft_pairs_planted(self, ray_session):
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            build_sft_pairs,
+        )
+
+        out = (build_sft_pairs(self._ds(), context_turns=3).to_pandas()
+               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        # assistant turns: a@1 (1 predecessor), a@4 (3 predecessors), b@0 (none)
+        assert list(out["conv_id"]) == ["a", "a", "b"]
+        assert list(out["turn_idx"]) == [1, 4, 0]
+        assert out.loc[0, "context"] == "user: q1"
+        assert out.loc[1, "context"] == "assistant: a1\nuser: q2\ntool: t3"
+        assert out.loc[2, "context"] == ""  # conv boundary: no bleed from 'a'
+        assert list(out["target"]) == ["a1", "a4", "solo"]
+
+    def test_sft_pairs_layout_invariance(self, ray_session):
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            build_sft_pairs,
+        )
+
+        a = (build_sft_pairs(self._ds(), context_turns=2).to_pandas()
+             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        b = (build_sft_pairs(self._ds(override_num_blocks=11),
+                             context_turns=2).to_pandas()
+             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_context_clip_planted(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            clip_context_budget,
+        )
+
+        rows = [
+            # conv a: lengths 8, 4, 2 → suffix 14, 6, 2; budget 7 keeps idx 1,2
+            {"conv_id": "a", "turn_idx": 0, "role": "u", "text": "x" * 8, "tool": ""},
+            {"conv_id": "a", "turn_idx": 1, "role": "u", "text": "y" * 4, "tool": ""},
+            {"conv_id": "a", "turn_idx": 2, "role": "u", "text": "z" * 2, "tool": ""},
+            # conv b: single turn longer than budget → drops itself
+            {"conv_id": "b", "turn_idx": 0, "role": "u", "text": "w" * 9, "tool": ""},
+        ]
+        out = (clip_context_budget(ray.data.from_items(rows), budget_chars=7)
+               .to_pandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        assert list(out["suffix_chars"]) == [14, 6, 2, 9]
+        assert list(out["keep"]) == [False, True, True, False]
+
+    def test_bad_args(self, ray_session):
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            build_sft_pairs,
+            clip_context_budget,
+        )
+
+        with pytest.raises(ValueError):
+            build_sft_pairs(self._ds(), context_turns=0)
+        with pytest.raises(ValueError):
+            clip_context_budget(self._ds(), budget_chars=-1)
+
+    def test_empty_input(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            build_sft_pairs,
+            clip_context_budget,
+        )
+
+        empty = ray.data.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string())}))
+        assert len(build_sft_pairs(empty).to_pandas()) == 0
+        assert len(clip_context_budget(empty, 100).to_pandas()) == 0
