@@ -931,6 +931,64 @@ def _q_transcripts_context_clip(sf_dir: str):
     return df
 
 
+def _q_transcripts_sft_pipeline(sf_dir: str):
+    """Composed flagship for the SFT-export path: cross-conversation prefix
+    dedup (rerun collapse, same template injection as
+    transcripts_prefix_dedup) → conversation-level length-rule keep (≥50%)
+    → SFT (context, target) export over the surviving conversations. The
+    conv-level keep sets intersect via hash_join (one row per conversation
+    each side); turns ship once through the final conv-filter join."""
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        build_sft_pairs,
+        conversation_keep,
+        conversation_prefix_dedup,
+    )
+    from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        mask = pa.array(((doc % 97) % 5 == 2) & (turn < 3))
+        tpl = pc.binary_join_element_wise(
+            pa.array(["PFX-"] * batch.num_rows, pa.string()),
+            batch.column("role"), "")
+        text = pc.if_else(mask, tpl, batch.column("text"))
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text)
+
+    ds = ds.map_batches(inject, batch_format="pyarrow")
+
+    def keepers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep")).select(["conv_id"])
+
+    dedup_keep = conversation_prefix_dedup(ds, k=3).map_batches(
+        keepers_only, batch_format="pyarrow")
+
+    def add_pass(batch: pa.Table) -> pa.Table:
+        p = pc.greater_equal(pc.utf8_length(batch.column("text")), 100)
+        return batch.append_column("length_pass", p)
+
+    def quality_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("conv_keep")).select(["conv_id"])
+
+    quality_keep = conversation_keep(
+        ds.map_batches(add_pass, batch_format="pyarrow"),
+        pass_col="length_pass", min_pass_ratio=0.5,
+    ).map_batches(quality_only, batch_format="pyarrow")
+
+    kept = hash_join(dedup_keep, quality_keep, on="conv_id", how="inner")
+    filtered = hash_join(ds, kept, on="conv_id", how="inner")
+    out = build_sft_pairs(filtered, context_turns=3)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df
+
+
 def _q_transcripts_rule_metrics(sf_dir: str):
     ds = _transcripts_ds(sf_dir)
 
@@ -2552,8 +2610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "transcripts_sft_pairs": _q_transcripts_sft_pairs,
         "transcripts_context_clip": _q_transcripts_context_clip,
+        "transcripts_sft_pipeline": _q_transcripts_sft_pipeline,
         # -- tier 2: oracled, driver-green in r04 --
-        "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
@@ -2582,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
         "join_orders_by_nation": _q_orders_by_nation,
@@ -3912,6 +3971,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(suffix_chars AS BIGINT) AS suffix_chars,
                    suffix_chars <= 800 AS keep
             FROM w ORDER BY conv_id, turn_idx
+        """,
+        # composed SFT-export flagship: prefix-dedup keepers ∩ conv-level
+        # length-rule keepers → windowed SFT pairs over surviving convs —
+        # mirrors _q_transcripts_sft_pipeline (conversation_prefix_dedup +
+        # conversation_keep + build_sft_pairs chained via hash_join)
+        "transcripts_sft_pipeline": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role,
+                              CASE WHEN doc_id % 97 % 5 = 2 AND turn_idx < 3
+                                   THEN 'PFX-' || role ELSE text END AS text
+                       FROM t),
+                 r AS (SELECT conv_id, turn_idx, role, text,
+                              row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS rn
+                       FROM e),
+                 pref AS (SELECT conv_id,
+                                 string_agg(role || chr(30) || text, chr(31)
+                                            ORDER BY turn_idx) AS prefix
+                          FROM r WHERE rn <= 3 GROUP BY conv_id),
+                 dk AS (SELECT conv_id FROM (
+                            SELECT conv_id,
+                                   conv_id = min(conv_id) OVER (
+                                       PARTITION BY prefix) AS keep
+                            FROM pref) WHERE keep),
+                 qk AS (SELECT conv_id FROM (
+                            SELECT conv_id,
+                                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                                   CAST(SUM(CASE WHEN length(text) >= 100
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_pass
+                            FROM e GROUP BY conv_id)
+                        WHERE n_pass * 2 >= n_turns * 1),
+                 kept AS (SELECT conv_id FROM dk
+                          INTERSECT SELECT conv_id FROM qk),
+                 f AS (SELECT e.* FROM e JOIN kept USING (conv_id))
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '')
+                       AS context,
+                   text AS target
+            FROM f QUALIFY role = 'assistant'
+            ORDER BY conv_id, turn_idx
         """,
         "transcripts_rule_metrics": f"""
             SELECT conv_id, turn_idx, {_RULE_METRIC_SQL_COLS}
