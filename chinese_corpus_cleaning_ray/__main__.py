@@ -32,6 +32,9 @@ ref:process_documents.py:86-161 ``process/...``):
         --weights '{"web": 6, "wiki": 1}' --budget-tokens N
         source-mixture resampling toward target token shares (integer
         rate table printed for audit/replay)
+    python -m chinese_corpus_cleaning_ray sftexport --input DIR --output DIR
+        transcript SFT exporter: optional first-K-turn prefix dedup, then
+        one (context, target) parquet row per assistant turn
 
 Owns the Ray session (guarded init) — the only place in the package that may
 call ray.init.
@@ -215,6 +218,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--threshold", type=float, default=0.85)
     sm.add_argument("--n-clusters", type=int, default=None)
     sm.add_argument("--num-cpus", type=int, default=None)
+
+    sf = sub.add_parser("sftexport")
+    sf.add_argument("--input", required=True,
+                    help="transcript parquet (conv_id, turn_idx, role, text)")
+    sf.add_argument("--output", required=True)
+    sf.add_argument("--context-turns", type=int, default=3)
+    sf.add_argument("--dedup-prefix", type=int, default=0,
+                    help="if > 0, first collapse conversations sharing an "
+                         "identical first-K-turn (role, text) prefix")
+    sf.add_argument("--num-cpus", type=int, default=None)
 
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
@@ -470,6 +483,40 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rows_kept": out.count(),
                               "rates_permyriad": rates,
                               "output": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "sftexport":
+        # transcript SFT exporter: optional cross-conversation prefix dedup
+        # (rerun collapse), then one (context, target) row per assistant turn
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import pyarrow as _pa
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.pipelines.conversations import (
+                build_sft_pairs,
+                conversation_prefix_dedup,
+            )
+
+            ds = rd.read_parquet(
+                args.input, columns=["conv_id", "turn_idx", "role", "text"])
+            if args.dedup_prefix > 0:
+                from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+                def _keepers(batch: _pa.Table) -> _pa.Table:
+                    return batch.filter(batch.column("keep")).select(["conv_id"])
+
+                kept = conversation_prefix_dedup(
+                    ds, k=args.dedup_prefix).map_batches(
+                        _keepers, batch_format="pyarrow")
+                ds = hash_join(ds, kept, on="conv_id", how="inner")
+            out = build_sft_pairs(ds, context_turns=args.context_turns)
+            out = out.materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"pairs": out.count(), "out": args.output}))
             return 0
         finally:
             if owned:

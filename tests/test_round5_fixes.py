@@ -1259,3 +1259,46 @@ class TestSftPairsAndContextClip:
             "text": pa.array([], pa.string())}))
         assert len(build_sft_pairs(empty).to_pandas()) == 0
         assert len(clip_context_budget(empty, 100).to_pandas()) == 0
+
+
+def test_cli_sftexport(tmp_path):
+    """End-to-end: transcript parquet -> sftexport CLI (with prefix dedup) ->
+    (context, target) parquet; duplicate-prefix conversation collapsed."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    rows = []
+    for cid, texts in [("a", ["sys", "task", "go", "tail-a"]),
+                       ("b", ["sys", "task", "go", "tail-b"]),  # dup of a
+                       ("c", ["sys", "task", "NO", "x"])]:
+        for i, t in enumerate(texts):
+            rows.append((cid, i, ["user", "assistant"][i % 2], t))
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    }), src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "sftexport",
+         "--input", src, "--output", str(tmp_path / "sft"),
+         "--context-turns", "2", "--dedup-prefix", "3", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    # conv b dropped by prefix dedup; a and c each have 2 assistant turns
+    assert m["pairs"] == 4
+    got = pq.read_table(str(tmp_path / "sft")).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert set(got["conv_id"]) == {"a", "c"}
+    a3 = got[(got["conv_id"] == "a") & (got["turn_idx"] == 3)].iloc[0]
+    assert a3["context"] == "assistant: a1\nuser: go".replace("a1", "task")
+    assert a3["target"] == "tail-a"
