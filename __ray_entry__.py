@@ -1052,6 +1052,31 @@ def _q_transcripts_langid(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_transcripts_conv_langid(sf_dir: str):
+    """Conversation-level majority language (mixed-language-conversation
+    gate): per-turn heuristic langid → per-conv (lang, count) exact
+    aggregation → argmax with lang-ascending tie-break. Mirrors
+    pipelines/conversations.py:conversation_language_profile."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_language_profile,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _langid_batch(batch)
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "lang": m.column("lang")})
+
+    out = conversation_language_profile(
+        ds.map_batches(fn, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    df["n_turns"] = df["n_turns"].astype("int64")
+    df["top_lang_turns"] = df["top_lang_turns"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2611,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_sft_pairs": _q_transcripts_sft_pairs,
         "transcripts_context_clip": _q_transcripts_context_clip,
         "transcripts_sft_pipeline": _q_transcripts_sft_pipeline,
+        "transcripts_conv_langid": _q_transcripts_conv_langid,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2630,7 +2656,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_keywords": _q_doc_keywords,
         "doc_quantile_filter": _q_doc_quantile_filter,
-        "doc_url_parts": _q_doc_url_parts,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
@@ -2640,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_url_parts": _q_doc_url_parts,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_rule_metrics": _q_doc_rule_metrics,
         "doc_langid": _q_doc_langid,
@@ -4052,6 +4078,27 @@ def oracle_sql() -> dict[str, str]:
                          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
                   FROM ({_DERIVE_SQL}))
             ORDER BY conv_id, turn_idx
+        """,
+        # conversation-level majority language: per-conv (lang, n) exact
+        # counts, argmax with lang-ascending tie-break — mirrors
+        # pipelines/conversations.py:conversation_language_profile
+        "transcripts_conv_langid": f"""
+            WITH lg AS (
+                SELECT conv_id, {_LANGID_SQL_COLS}
+                FROM (SELECT conv_id, text,
+                             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh,
+                             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
+                      FROM ({_DERIVE_SQL}))),
+                 c AS (SELECT conv_id, lang, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM lg GROUP BY conv_id, lang),
+                 r AS (SELECT conv_id, lang, n,
+                              CAST(SUM(n) OVER (PARTITION BY conv_id)
+                                   AS BIGINT) AS n_turns,
+                              row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY n DESC, lang) AS rk
+                       FROM c)
+            SELECT conv_id, n_turns, lang AS top_lang, n AS top_lang_turns
+            FROM r WHERE rk = 1 ORDER BY conv_id
         """,
         # the FULL per-turn quality surface: composite label columns (shared
         # _keep_label_sql chain), langid, and the DFA scrub restated as an

@@ -100,7 +100,8 @@ def run_bench() -> dict:
                      "doc_dsir_weights", "doc_tfidf_search",
                      "transcripts_dsir_weights", "transcripts_prefix_dedup",
                      "transcripts_tool_stats", "transcripts_sft_pairs",
-                     "transcripts_context_clip", "transcripts_sft_pipeline"):
+                     "transcripts_context_clip", "transcripts_sft_pipeline",
+                     "transcripts_conv_langid"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -826,3 +826,68 @@ def clip_context_budget(ds, budget_chars: int, shards: int = 256):
         .groupby("__shard")
         .map_groups(clip, batch_format="pandas")
     )
+
+
+def conversation_language_profile(ds, lang_col: str = "lang",
+                                  shards: int = 256):
+    """Conversation-level language profile over a per-turn language-ID'd
+    Dataset (compose after the langid stage): one row per conversation with
+    its majority language — the gate that drops mixed-language
+    conversations, which per-turn langid cannot express.
+
+    Exact semantics (bit-restatable in SQL): top_lang = the lang with the
+    highest turn count in the conversation, ties broken lang-ascending
+    (row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, lang) = 1).
+
+    Output: (conv_id, n_turns:int64, top_lang, top_lang_turns:int64).
+
+    Plan: per-batch (conv, lang) partial counts (Arrow hash aggregation,
+    no text) → global groupby-sum (exact counts, one row per conv×lang)
+    → conv-hash shard → vectorized per-shard argmax (sort +
+    drop_duplicates). The only rows that ever shuffle are (conv, lang,
+    count) triples — bounded by convs × distinct langs."""
+    from ray.data.aggregate import Sum
+
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        agg = (batch.select(["conv_id", lang_col])
+               .group_by(["conv_id", lang_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["conv_id", lang_col, "n"])
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["conv_id", lang_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "top_lang": pd.Series([], dtype=object),
+                                 "top_lang_turns": pd.Series([], dtype=np.int64)})
+        totals = g.groupby("conv_id", sort=False)["n"].transform("sum")
+        g = g.assign(n_turns=totals).sort_values(
+            ["conv_id", "n", lang_col], ascending=[True, False, True],
+            kind="mergesort").drop_duplicates(subset=["conv_id"], keep="first")
+        return pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "n_turns": g["n_turns"].astype(np.int64),
+            "top_lang": g[lang_col],
+            "top_lang_turns": g["n"].astype(np.int64),
+        })
+
+    return (
+        counts.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(top, batch_format="pandas")
+    )

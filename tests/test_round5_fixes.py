@@ -1302,3 +1302,89 @@ def test_cli_sftexport(tmp_path):
     a3 = got[(got["conv_id"] == "a") & (got["turn_idx"] == 3)].iloc[0]
     assert a3["context"] == "assistant: a1\nuser: go".replace("a1", "task")
     assert a3["target"] == "tail-a"
+
+
+class TestConversationLanguageProfile:
+    def test_planted_majority_and_ties(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_language_profile,
+        )
+
+        rows = (
+            [{"conv_id": "a", "lang": l} for l in ["zh", "zh", "other"]]
+            # tie 2-2: lexicographically smaller lang wins
+            + [{"conv_id": "b", "lang": l} for l in ["zh", "other", "other", "zh"]]
+            + [{"conv_id": "c", "lang": "und"}]
+        )
+        out = (conversation_language_profile(ray.data.from_items(rows))
+               .to_pandas().sort_values("conv_id").reset_index(drop=True))
+        assert list(out["conv_id"]) == ["a", "b", "c"]
+        assert list(out["top_lang"]) == ["zh", "other", "und"]
+        assert list(out["n_turns"]) == [3, 4, 1]
+        assert list(out["top_lang_turns"]) == [2, 2, 1]
+
+    def test_layout_invariance_and_empty(self, ray_session):
+        import ray
+
+        from chinese_corpus_cleaning_ray.pipelines.conversations import (
+            conversation_language_profile,
+        )
+
+        rows = [{"conv_id": f"c{j % 13}", "lang": ["zh", "other", "und"][j % 3]}
+                for j in range(300)]
+        a = (conversation_language_profile(ray.data.from_items(rows))
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+        b = (conversation_language_profile(
+                ray.data.from_items(rows, override_num_blocks=29))
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+        empty = ray.data.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string())}))
+        assert len(conversation_language_profile(empty).to_pandas()) == 0
+
+
+def test_wave4_ops_hot_conversation_skew(ray_session):
+    """One pathological conversation holds 50x the turns of its siblings —
+    the wave-4 ops must stay correct (their per-shard kernels are
+    vectorized, and prefix dedup's pre-prune caps what the hot conv ships)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        build_sft_pairs,
+        clip_context_budget,
+        conversation_language_profile,
+        conversation_prefix_dedup,
+    )
+
+    rows = []
+    for i in range(500):  # hot conversation
+        rows.append({"conv_id": "hot", "turn_idx": i,
+                     "role": ["user", "assistant"][i % 2],
+                     "text": f"turn-{i}", "lang": "zh"})
+    for c in range(10):
+        for i in range(10):
+            rows.append({"conv_id": f"c{c}", "turn_idx": i,
+                         "role": ["user", "assistant"][i % 2],
+                         "text": f"t-{c}-{i}", "lang": "other"})
+    ds = ray.data.from_items(rows, override_num_blocks=37)
+
+    pd_out = conversation_prefix_dedup(ds, k=3).to_pandas()
+    assert len(pd_out) == 11 and pd_out["keep"].all()  # all prefixes distinct
+
+    sft = build_sft_pairs(ds, context_turns=3).to_pandas()
+    assert len(sft) == 250 + 10 * 5  # assistant turns
+    hot4 = sft[(sft["conv_id"] == "hot") & (sft["turn_idx"] == 499)].iloc[0]
+    assert hot4["context"] == "user: turn-496\nassistant: turn-497\nuser: turn-498"
+
+    clip = clip_context_budget(ds, budget_chars=100).to_pandas()
+    assert len(clip) == len(rows)
+    hot_kept = clip[(clip["conv_id"] == "hot") & clip["keep"]]
+    # kept turns form a suffix
+    assert (hot_kept["turn_idx"].to_numpy()
+            == np.arange(500 - len(hot_kept), 500)).all()
+
+    prof = conversation_language_profile(ds).to_pandas()
+    assert prof.set_index("conv_id").loc["hot", "n_turns"] == 500
