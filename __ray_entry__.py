@@ -1077,6 +1077,37 @@ def _q_transcripts_conv_langid(sf_dir: str):
     return df
 
 
+def _q_transcripts_format_check(sf_dir: str):
+    """Truncation/format QA: code-fence balance + terminal-punctuation
+    endings per turn. The derived texts carry no backticks, so the query
+    injects deterministically: doc_id % 7 == 3 appends ONE opening fence
+    (unbalanced, truncated-looking); doc_id % 7 == 5 wraps the text in a
+    balanced fence pair and a CJK full stop. Mirrors
+    stages/analysis.py:format_check."""
+    from chinese_corpus_cleaning_ray.stages.analysis import format_check
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("text").to_pandas().astype(str)
+        s = s.where(doc % 7 != 3, s + "\n```python")
+        s = s.where(doc % 7 != 5, "```" + s + "```" + "。")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(s, pa.string()))
+
+    out = format_check(ds.map_batches(inject, batch_format="pyarrow"),
+                       keep_cols=["conv_id", "turn_idx"])
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["n_code_fences"] = df["n_code_fences"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2637,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_context_clip": _q_transcripts_context_clip,
         "transcripts_sft_pipeline": _q_transcripts_sft_pipeline,
         "transcripts_conv_langid": _q_transcripts_conv_langid,
+        "transcripts_format_check": _q_transcripts_format_check,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2655,7 +2687,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_keywords": _q_doc_keywords,
-        "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
@@ -2665,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dsir_weights": _q_transcripts_dsir_weights,
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
+        "doc_quantile_filter": _q_doc_quantile_filter,
         "doc_url_parts": _q_doc_url_parts,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_rule_metrics": _q_doc_rule_metrics,
@@ -4078,6 +4110,33 @@ def oracle_sql() -> dict[str, str]:
                          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
                   FROM ({_DERIVE_SQL}))
             ORDER BY conv_id, turn_idx
+        """,
+        # truncation/format QA over fence-injected transcripts: fence count
+        # via non-overlapping replace-scan; explicit trailing-strip charset
+        # keeps Python rstrip == SQL rtrim — mirrors
+        # stages/analysis.py:format_check
+        "transcripts_format_check": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              CASE WHEN doc_id % 7 = 3
+                                       THEN text || chr(10) || '```python'
+                                   WHEN doc_id % 7 = 5
+                                       THEN '```' || text || '```' || '。'
+                                   ELSE text END AS text
+                       FROM t),
+                 m AS (SELECT conv_id, turn_idx,
+                              CAST((length(text) - length(replace(text, '```', ''))) / 3
+                                   AS BIGINT) AS n_code_fences,
+                              rtrim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                          || chr(11) || chr(12)) AS t2
+                       FROM e)
+            SELECT conv_id, turn_idx, n_code_fences,
+                   n_code_fences % 2 = 0 AS fences_balanced,
+                   CASE WHEN length(t2) = 0 THEN FALSE
+                        WHEN right(t2, 1) IN ('。','！','？','.','!','?','…',
+                                              '"','」','）',')') THEN TRUE
+                        ELSE FALSE END AS ends_clean
+            FROM m ORDER BY conv_id, turn_idx
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

@@ -1352,3 +1352,45 @@ def heavy_hitters_by_key(ds, key_col: str, col: str, k: int,
     return pa.table({key_col: pa.array([t[0] for t in out], key_type),
                      col: pa.array([t[1] for t in out], val_type),
                      "cnt": pa.array([t[2] for t in out], pa.int64())})
+
+
+def format_check(ds, text_col: str = "text", keep_cols: list[str] | None = None):
+    """Generation-truncation / formatting QA signals per row — the cheap
+    structural checks an SFT corpus is gated on before training:
+
+    - ``n_code_fences``: count of non-overlapping triple-backtick markers;
+    - ``fences_balanced``: even fence count (an odd count means an unclosed
+      code block — the classic truncated-generation signature);
+    - ``ends_clean``: after stripping ASCII trailing whitespace, the last
+      character is terminal punctuation (CJK or ASCII) — mid-sentence
+      endings flag cut-off responses.
+
+    Exact semantics (bit-restatable in SQL): fence count =
+    (length(text) - length(replace(text, '```', ''))) / 3 (same
+    non-overlapping greedy scan as str.count); trailing-strip charset is
+    EXPLICIT (space, TAB, LF, CR, VT, FF) on both sides so Python's
+    unicode-aware rstrip() can never drift from SQL rtrim.
+
+    Zero shuffle — one vectorized map_batches pass (pandas C string
+    kernels); ``keep_cols`` are carried through for downstream joins."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (str accessor backs the kernels)
+
+    _WS = " \t\n\r\x0b\x0c"
+    _TERM = list('。！？.!?…"」）)')
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().astype(str)
+        n = s.str.count("```").astype(np.int64)
+        stripped = s.str.rstrip(_WS)
+        last = stripped.str[-1:]
+        ends = (stripped.str.len() > 0) & last.isin(_TERM)
+        cols = {}
+        for c in keep_cols or []:
+            cols[c] = batch.column(c)
+        cols["n_code_fences"] = pa.array(n, pa.int64())
+        cols["fences_balanced"] = pa.array((n % 2 == 0), pa.bool_())
+        cols["ends_clean"] = pa.array(ends.to_numpy(), pa.bool_())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -102,6 +102,7 @@ def test_oracle_keys_subset(entry_mod):
     "transcripts_prefix_dedup", "transcripts_tool_stats",
     "transcripts_sft_pairs", "transcripts_context_clip",
     "transcripts_sft_pipeline", "transcripts_conv_langid",
+    "transcripts_format_check",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _to_df(entry_mod.queries()[name](SF_DIR))

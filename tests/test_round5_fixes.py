@@ -1388,3 +1388,31 @@ def test_wave4_ops_hot_conversation_skew(ray_session):
 
     prof = conversation_language_profile(ds).to_pandas()
     assert prof.set_index("conv_id").loc["hot", "n_turns"] == 500
+
+
+def test_format_check_planted(ray_session):
+    """format_check: fence counting (incl. 5/6-backtick runs), explicit-
+    charset trailing strip, CJK + ASCII terminal punctuation."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.analysis import format_check
+
+    cases = [
+        ("```py\nx\n```", 2, True, False),
+        ("open ```", 1, False, False),
+        ("`````", 1, False, False),     # 5 backticks: one non-overlapping fence
+        ("``````", 2, True, False),
+        ("ends clean.", 0, True, True),
+        ("中文句。  \n", 0, True, True),
+        ("trail…", 0, True, True),
+        ("", 0, True, False),
+        ("   ", 0, True, False),
+        ("x　", 0, True, False),    # U+3000 NOT in the strip charset
+    ]
+    rows = [{"doc_id": i, "text": t} for i, (t, *_rest) in enumerate(cases)]
+    out = (format_check(ray.data.from_items(rows), keep_cols=["doc_id"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, (t, n, bal, clean) in enumerate(cases):
+        assert out.loc[i, "n_code_fences"] == n, (t, out.loc[i].to_dict())
+        assert bool(out.loc[i, "fences_balanced"]) == bal, t
+        assert bool(out.loc[i, "ends_clean"]) == clean, t
