@@ -1108,6 +1108,89 @@ def _q_transcripts_format_check(sf_dir: str):
     return df
 
 
+def _q_transcripts_selfrep(sf_dir: str):
+    """Generation-loop detector: per-conversation count of consecutive
+    assistant turns with byte-identical text. The derived texts never
+    repeat consecutively, so the query injects a constant apology where
+    turn_idx % 7 <= 3 (assistant turn_idx steps by 3 within a conv, so
+    pairs collide exactly when turn_idx % 7 == 0). Mirrors
+    pipelines/conversations.py:assistant_selfrep."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import assistant_selfrep
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        s = batch.column("text").to_pandas().astype(str)
+        s = s.where(turn % 7 > 3, "抱歉，让我重试一次。")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(s, pa.string()))
+
+    out = assistant_selfrep(ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    df["n_role_turns"] = df["n_role_turns"].astype("int64")
+    df["n_selfrep"] = df["n_selfrep"].astype("int64")
+    return df
+
+
+def _q_transcripts_conv_complete(sf_dir: str):
+    """Conversation-completeness gate: last turn must be assistant, fences
+    balanced, terminal punctuation. Same deterministic fence injection as
+    transcripts_format_check (doc_id % 7 == 3 appends an open fence;
+    doc_id % 7 == 5 wraps balanced + CJK full stop). Mirrors
+    pipelines/conversations.py:conversation_completeness."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_completeness,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("text").to_pandas().astype(str)
+        s = s.where(doc % 7 != 3, s + "\n```python")
+        s = s.where(doc % 7 != 5, "```" + s + "```" + "。")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(s, pa.string()))
+
+    out = conversation_completeness(
+        ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    df["n_turns"] = df["n_turns"].astype("int64")
+    return df
+
+
+def _q_transcripts_turn_latency(sf_dir: str):
+    """Per-conversation inter-turn latency stats over a deterministic
+    integer-seconds timestamp (ts_s = turn_idx*60 + doc_id % 37, strictly
+    increasing within a conv since the jitter is < 60). Mirrors
+    pipelines/conversations.py:turn_gap_stats."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import turn_gap_stats
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ts = (turn.astype(np.int64) * 60 + doc.astype(np.int64) % 37)
+        return batch.append_column("ts_s", pa.array(ts, pa.int64()))
+
+    out = turn_gap_stats(ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    for c in ("n_gaps", "sum_gap_s", "max_gap_s"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2669,6 +2752,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_sft_pipeline": _q_transcripts_sft_pipeline,
         "transcripts_conv_langid": _q_transcripts_conv_langid,
         "transcripts_format_check": _q_transcripts_format_check,
+        "transcripts_selfrep": _q_transcripts_selfrep,
+        "transcripts_conv_complete": _q_transcripts_conv_complete,
+        "transcripts_turn_latency": _q_transcripts_turn_latency,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2676,7 +2762,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_incremental_substring": _q_doc_incremental_substring,
-        "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
@@ -2685,8 +2770,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_signals": _q_doc_repetition_signals,
         "events_heavy_users_per_type": _q_events_heavy_users_per_type,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
-        "doc_pii_redact": _q_doc_pii_redact,
-        "doc_keywords": _q_doc_keywords,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
@@ -2697,6 +2780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_top_ngrams": _q_doc_top_ngrams,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_keywords": _q_doc_keywords,
         "doc_url_parts": _q_doc_url_parts,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_rule_metrics": _q_doc_rule_metrics,
@@ -4137,6 +4223,81 @@ def oracle_sql() -> dict[str, str]:
                                               '"','」','）',')') THEN TRUE
                         ELSE FALSE END AS ends_clean
             FROM m ORDER BY conv_id, turn_idx
+        """,
+        # generation-loop detector: lag over the role-filtered turn stream;
+        # injection constant where turn_idx % 7 <= 3 — mirrors
+        # pipelines/conversations.py:assistant_selfrep
+        "transcripts_selfrep": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              CASE WHEN turn_idx % 7 <= 3
+                                   THEN '抱歉，让我重试一次。'
+                                   ELSE text END AS text
+                       FROM t WHERE role = 'assistant'),
+                 l AS (SELECT conv_id, text,
+                              lag(text) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS prev
+                       FROM e)
+            SELECT conv_id, count(*) AS n_role_turns,
+                   COALESCE(sum(CASE WHEN text = prev THEN 1 ELSE 0 END), 0)
+                       AS n_selfrep
+            FROM l GROUP BY conv_id ORDER BY conv_id
+        """,
+        # conversation-completeness gate: max-turn row per conv, then the
+        # format_check fence/ending expressions on that row's text — mirrors
+        # pipelines/conversations.py:conversation_completeness
+        "transcripts_conv_complete": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role,
+                              CASE WHEN doc_id % 7 = 3
+                                       THEN text || chr(10) || '```python'
+                                   WHEN doc_id % 7 = 5
+                                       THEN '```' || text || '```' || '。'
+                                   ELSE text END AS text
+                       FROM t),
+                 a AS (SELECT conv_id, count(*) AS n_turns,
+                              max(turn_idx) AS mx
+                       FROM e GROUP BY conv_id),
+                 j AS (SELECT a.conv_id, a.n_turns, e.role AS last_role,
+                              e.text
+                       FROM a JOIN e ON e.conv_id = a.conv_id
+                                    AND e.turn_idx = a.mx),
+                 m AS (SELECT conv_id, n_turns, last_role,
+                              CAST((length(text) - length(replace(text, '```', ''))) / 3
+                                   AS BIGINT) AS nf,
+                              rtrim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                          || chr(11) || chr(12)) AS t2
+                       FROM j),
+                 f AS (SELECT conv_id, n_turns, last_role,
+                              nf % 2 = 0 AS last_fences_balanced,
+                              CASE WHEN length(t2) = 0 THEN FALSE
+                                   WHEN right(t2, 1) IN ('。','！','？','.','!',
+                                                         '?','…','"','」','）',')')
+                                       THEN TRUE
+                                   ELSE FALSE END AS last_ends_clean
+                       FROM m)
+            SELECT conv_id, n_turns, last_role, last_fences_balanced,
+                   last_ends_clean,
+                   (last_role = 'assistant' AND last_fences_balanced
+                    AND last_ends_clean) AS conv_complete
+            FROM f ORDER BY conv_id
+        """,
+        # per-conv inter-turn latency: lead window over the deterministic
+        # ts_s = turn_idx*60 + doc_id % 37 — mirrors
+        # pipelines/conversations.py:turn_gap_stats
+        "transcripts_turn_latency": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              turn_idx * 60 + doc_id % 37 AS ts_s
+                       FROM t),
+                 l AS (SELECT conv_id,
+                              lead(ts_s) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) - ts_s AS gap
+                       FROM e)
+            SELECT conv_id, count(gap) AS n_gaps,
+                   COALESCE(sum(gap), 0) AS sum_gap_s,
+                   COALESCE(max(gap), 0) AS max_gap_s
+            FROM l GROUP BY conv_id ORDER BY conv_id
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

@@ -101,7 +101,9 @@ def run_bench() -> dict:
                      "transcripts_dsir_weights", "transcripts_prefix_dedup",
                      "transcripts_tool_stats", "transcripts_sft_pairs",
                      "transcripts_context_clip", "transcripts_sft_pipeline",
-                     "transcripts_conv_langid", "transcripts_format_check"):
+                     "transcripts_conv_langid", "transcripts_format_check",
+                     "transcripts_selfrep", "transcripts_conv_complete",
+                     "transcripts_turn_latency"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

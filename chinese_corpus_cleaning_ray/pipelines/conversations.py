@@ -891,3 +891,179 @@ def conversation_language_profile(ds, lang_col: str = "lang",
         .groupby("__shard")
         .map_groups(top, batch_format="pandas")
     )
+
+
+def assistant_selfrep(ds, role: str = "assistant", text_col: str = "text",
+                      shards: int = 256):
+    """Consecutive same-role repetition (generation-loop detector): one row
+    per conversation with ``n_role_turns`` (turns whose role equals
+    ``role``) and ``n_selfrep`` (count of those turns whose text EXACTLY
+    equals the previous same-role turn's text in turn_idx order). Looping
+    assistants — identical apologies, identical retries — are the
+    transcript-native failure mode the reference's intra-document repeat
+    checks (`Assess_Quality/main.py` repetition rules) cannot see, because
+    the repeats span rows.
+
+    Exact semantics (bit-restatable in SQL): over the role-filtered turn
+    stream, n_selfrep = COUNT(*) FILTER (text = lag(text) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx)). Conversations with zero
+    ``role`` turns yield no row (matching the filtered SQL stream).
+
+    Plan: role filter runs IN the scan task (other roles' text never
+    leaves it) -> conv-hash shard -> one vectorized pass per shard (sort
+    by (conv, turn), neighbour compare under a same-conv mask,
+    groupby-sum). Only the scored role's text crosses the exchange, once.
+    """
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("role"), role))
+        batch = batch.select(["conv_id", "turn_idx", text_col])
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def count_rep(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_role_turns": pd.Series([], dtype=np.int64),
+                                 "n_selfrep": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        txt = g[text_col].to_numpy()
+        rep = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            rep[1:] = (txt[1:] == txt[:-1]) & (conv[1:] == conv[:-1])
+        agg = (pd.DataFrame({"conv_id": conv, "rep": rep})
+               .groupby("conv_id", sort=False)
+               .agg(n_role_turns=("rep", "size"), n_selfrep=("rep", "sum")))
+        return agg.reset_index()
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__shard").map_groups(count_rep, batch_format="pandas"))
+
+
+def conversation_completeness(ds, text_col: str = "text", shards: int = 256):
+    """Conversation-completeness gate: one row per conversation judging
+    whether the transcript looks FINISHED — the last turn (max turn_idx)
+    must be an assistant turn, its code fences balanced and its text ending
+    in terminal punctuation (the same EXACT fence/ending semantics as
+    ``stages.analysis.format_check``). Truncated exports, crashed agent
+    runs and user-abandoned chats all fail this gate before training.
+
+    Output: (conv_id, n_turns:int64, last_role, last_fences_balanced:bool,
+    last_ends_clean:bool, conv_complete:bool).
+
+    Plan: per-batch partial aggregate — ONE row per conversation per batch
+    (count + batch-max turn_idx + that row's role/text), so text crosses
+    the exchange for at most convs x batches rows and every other turn's
+    text dies in the scan task -> conv-hash shard -> per-shard global-max
+    + vectorized fence / ending checks (pandas C string kernels).
+    """
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    _WS = " \t\n\r\x0b\x0c"
+    _TERM = list('。！？.!?…"」）)')
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx", "role", text_col]).to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = df.groupby("conv_id", sort=False)["turn_idx"].transform("size")
+        df = df.assign(__n=n.astype(np.int64)).drop_duplicates(
+            subset=["conv_id"], keep="last")
+        keys = pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
+        df = df.assign(__shard=(keys % np.uint64(shards)).astype(np.int32))
+        # strip the pandas schema metadata: it is an unhashable dict that
+        # defeats Ray's block-schema deduplication (one warning per block)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "last_role": pd.Series([], dtype=object),
+                "last_fences_balanced": pd.Series([], dtype=bool),
+                "last_ends_clean": pd.Series([], dtype=bool),
+                "conv_complete": pd.Series([], dtype=bool)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = g.groupby("conv_id", sort=False)["__n"].transform("sum")
+        g = g.assign(n_turns=n.astype(np.int64)).drop_duplicates(
+            subset=["conv_id"], keep="last")
+        s = g[text_col].astype(str)
+        fences = s.str.count("```").astype(np.int64)
+        balanced = (fences % 2 == 0).to_numpy()
+        stripped = s.str.rstrip(_WS)
+        ends = ((stripped.str.len() > 0)
+                & stripped.str[-1:].isin(_TERM)).to_numpy()
+        is_asst = (g["role"] == "assistant").to_numpy()
+        return pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "n_turns": g["n_turns"],
+            "last_role": g["role"],
+            "last_fences_balanced": balanced,
+            "last_ends_clean": ends,
+            "conv_complete": is_asst & balanced & ends,
+        })
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("__shard").map_groups(finish, batch_format="pandas"))
+
+
+def turn_gap_stats(ds, ts_col: str = "ts_s", shards: int = 256):
+    """Per-conversation inter-turn latency stats over an integer-seconds
+    timestamp column: ``n_gaps``, ``sum_gap_s``, ``max_gap_s``, where
+    gap = lead(ts) - ts in turn_idx order. Long silences mark session
+    breaks and stalled agent loops; negative gaps mark upstream clock skew
+    worth auditing (they participate in sum/max as-is).
+
+    Exact semantics (bit-restatable in SQL): gap = lead(ts_s) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx) - ts_s; per conv,
+    n_gaps = count(gap), sum/max are COALESCE(...., 0) — single-turn
+    conversations report (0, 0, 0).
+
+    Plan: text is never read (select only conv/turn/ts in the scan task);
+    conv-hash shard over 3-integer rows -> per-shard sorted diff +
+    groupby aggregation. The exchange carries integers only.
+    """
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["conv_id", "turn_idx", ts_col])
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_gaps": pd.Series([], dtype=np.int64),
+                                 "sum_gap_s": pd.Series([], dtype=np.int64),
+                                 "max_gap_s": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        df = pd.DataFrame({"conv_id": conv, "gap": gap, "is_gap": same})
+        sizes = df.groupby("conv_id", sort=False).size()
+        gaps = (df[df["is_gap"]].groupby("conv_id", sort=False)["gap"]
+                .agg(["count", "sum", "max"]))
+        out = gaps.reindex(sizes.index).fillna(0).astype(np.int64)
+        return pd.DataFrame({"conv_id": out.index.to_numpy(),
+                             "n_gaps": out["count"].to_numpy(),
+                             "sum_gap_s": out["sum"].to_numpy(),
+                             "max_gap_s": out["max"].to_numpy()})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__shard").map_groups(stats, batch_format="pandas"))

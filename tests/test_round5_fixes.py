@@ -1416,3 +1416,92 @@ def test_format_check_planted(ray_session):
         assert out.loc[i, "n_code_fences"] == n, (t, out.loc[i].to_dict())
         assert bool(out.loc[i, "fences_balanced"]) == bal, t
         assert bool(out.loc[i, "ends_clean"]) == clean, t
+
+
+def test_assistant_selfrep_planted(ray_session):
+    """assistant_selfrep: consecutive-only equality, same-conv mask, role
+    filter, zero-assistant convs absent."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import assistant_selfrep
+
+    rows = [
+        # conv a: assistant texts x, x, y, x -> 1 selfrep (consecutive only)
+        {"conv_id": "a", "turn_idx": 0, "role": "assistant", "text": "x"},
+        {"conv_id": "a", "turn_idx": 1, "role": "user", "text": "x"},
+        {"conv_id": "a", "turn_idx": 2, "role": "assistant", "text": "x"},
+        {"conv_id": "a", "turn_idx": 4, "role": "assistant", "text": "y"},
+        {"conv_id": "a", "turn_idx": 6, "role": "assistant", "text": "x"},
+        # conv b: single assistant turn, text equal to conv a's last -> 0
+        {"conv_id": "b", "turn_idx": 0, "role": "assistant", "text": "x"},
+        # conv c: no assistant turns -> no row
+        {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "x"},
+    ]
+    out = (assistant_selfrep(ray.data.from_items(rows))
+           .to_pandas().set_index("conv_id").sort_index())
+    assert list(out.index) == ["a", "b"]
+    assert out.loc["a", "n_role_turns"] == 4
+    assert out.loc["a", "n_selfrep"] == 1
+    assert out.loc["b", "n_role_turns"] == 1
+    assert out.loc["b", "n_selfrep"] == 0
+
+
+def test_conversation_completeness_planted(ray_session):
+    """conversation_completeness: last-turn selection across batches, fence
+    balance, terminal punctuation, assistant requirement."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_completeness,
+    )
+
+    rows = [
+        # conv a: complete (last = assistant, balanced, ends 。)
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "q"},
+        {"conv_id": "a", "turn_idx": 1, "role": "assistant", "text": "答案。"},
+        # conv b: last turn is user -> incomplete even though text clean
+        {"conv_id": "b", "turn_idx": 0, "role": "assistant", "text": "ok."},
+        {"conv_id": "b", "turn_idx": 1, "role": "user", "text": "fine."},
+        # conv c: unbalanced fence on last assistant turn
+        {"conv_id": "c", "turn_idx": 0, "role": "assistant",
+         "text": "```python\nprint(1)"},
+        # conv d: balanced fences but trailing mid-sentence
+        {"conv_id": "d", "turn_idx": 0, "role": "assistant",
+         "text": "```x``` and then   "},
+    ]
+    # two tiny blocks so a conversation's turns can split across batches
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    out = (conversation_completeness(ds)
+           .to_pandas().set_index("conv_id").sort_index())
+    assert out.loc["a", "n_turns"] == 2
+    assert bool(out.loc["a", "conv_complete"])
+    assert out.loc["b", "last_role"] == "user"
+    assert not bool(out.loc["b", "conv_complete"])
+    assert not bool(out.loc["c", "last_fences_balanced"])
+    assert not bool(out.loc["c", "conv_complete"])
+    assert bool(out.loc["d", "last_fences_balanced"])
+    assert not bool(out.loc["d", "last_ends_clean"])
+    assert not bool(out.loc["d", "conv_complete"])
+
+
+def test_turn_gap_stats_planted(ray_session):
+    """turn_gap_stats: turn_idx-ordered diffs, negative gap kept as-is,
+    single-turn conv reports (0,0,0)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import turn_gap_stats
+
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "ts_s": 100},
+        {"conv_id": "a", "turn_idx": 1, "ts_s": 160},
+        {"conv_id": "a", "turn_idx": 2, "ts_s": 150},   # clock skew: -10
+        {"conv_id": "b", "turn_idx": 0, "ts_s": 7},     # single turn
+    ]
+    out = (turn_gap_stats(ray.data.from_items(rows))
+           .to_pandas().set_index("conv_id").sort_index())
+    assert out.loc["a", "n_gaps"] == 2
+    assert out.loc["a", "sum_gap_s"] == 50
+    assert out.loc["a", "max_gap_s"] == 60
+    assert out.loc["b", "n_gaps"] == 0
+    assert out.loc["b", "sum_gap_s"] == 0
+    assert out.loc["b", "max_gap_s"] == 0
