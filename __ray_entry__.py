@@ -1191,6 +1191,35 @@ def _q_transcripts_turn_latency(sf_dir: str):
     return df
 
 
+def _q_transcripts_session_split(sf_dir: str):
+    """Gap-based session segmentation within conversations (sessionize twin
+    on the transcripts shape). Deterministic timestamps with an injected
+    one-hour silence every 5 turns (ts_s = turn_idx*60 + doc_id % 37 +
+    (turn_idx//5)*3600) against the default 1800 s gap. Mirrors
+    pipelines/conversations.py:split_conversation_sessions."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        split_conversation_sessions,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = turn * 60 + doc % 37 + (turn // 5) * 3600
+        return batch.append_column("ts_s", pa.array(ts, pa.int64()))
+
+    out = split_conversation_sessions(
+        ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["session_idx"] = df["session_idx"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2755,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_selfrep": _q_transcripts_selfrep,
         "transcripts_conv_complete": _q_transcripts_conv_complete,
         "transcripts_turn_latency": _q_transcripts_turn_latency,
+        "transcripts_session_split": _q_transcripts_session_split,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2769,7 +2799,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_repetition_signals": _q_doc_repetition_signals,
         "events_heavy_users_per_type": _q_events_heavy_users_per_type,
-        "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pack_chunks": _q_doc_pack_chunks,
@@ -2780,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_keywords": _q_doc_keywords,
@@ -4298,6 +4328,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sum(gap), 0) AS sum_gap_s,
                    COALESCE(max(gap), 0) AS max_gap_s
             FROM l GROUP BY conv_id ORDER BY conv_id
+        """,
+        # gap-based session split within conversations: lag + windowed
+        # cumulative break count over the deterministic jump-injected ts —
+        # mirrors pipelines/conversations.py:split_conversation_sessions
+        "transcripts_session_split": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              turn_idx * 60 + doc_id % 37
+                                  + (turn_idx // 5) * 3600 AS ts_s
+                       FROM t),
+                 l AS (SELECT conv_id, turn_idx,
+                              ts_s - lag(ts_s) OVER (PARTITION BY conv_id
+                                                     ORDER BY turn_idx) AS gap
+                       FROM e)
+            SELECT conv_id, turn_idx,
+                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM l ORDER BY conv_id, turn_idx
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

@@ -1067,3 +1067,61 @@ def turn_gap_stats(ds, ts_col: str = "ts_s", shards: int = 256):
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("__shard").map_groups(stats, batch_format="pandas"))
+
+
+def split_conversation_sessions(ds, ts_col: str = "ts_s",
+                                gap_seconds: int = 1800, shards: int = 256):
+    """Split each conversation into SESSIONS on inter-turn silence — the
+    transcripts-shape twin of ``sessionize_events``: a turn opens a new
+    session when the gap to the previous turn (turn_idx order) exceeds
+    ``gap_seconds``. Long-running chat threads resumed days later should
+    not train as one context; downstream SFT export windows per
+    (conv_id, session_idx) instead of per conv_id.
+
+    Output: one row per turn (conv_id, turn_idx, session_idx:int64),
+    session_idx 0-based per conversation.
+
+    Exact semantics (bit-restatable in SQL): session_idx = SUM(CASE WHEN
+    ts - lag(ts) OVER w > gap THEN 1 ELSE 0 END) OVER (w ROWS UNBOUNDED
+    PRECEDING) with w = (PARTITION BY conv_id ORDER BY turn_idx).
+
+    Plan: text is never read (conv/turn/ts only in the scan task);
+    conv-hash shard over 3-integer rows -> per-shard sorted diff +
+    same-conv masked cumulative sum. Integers-only exchange."""
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["conv_id", "turn_idx", ts_col])
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int64),
+                                 "session_idx": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        brk = np.zeros(len(g), dtype=np.int64)
+        brk[1:] = (ts[1:] - ts[:-1] > gap_seconds)
+        brk[~same] = 0
+        # per-conv cumulative sum of breaks: global cumsum minus the cumsum
+        # value at each conv's first row (conv runs are contiguous after the
+        # sort and brk is forced to 0 on first rows, so the first row's cs IS
+        # the conv's base; forward-fill via maximum.accumulate works because
+        # cs is non-decreasing)
+        cs = np.cumsum(brk)
+        base = np.maximum.accumulate(np.where(~same, cs, 0))
+        sess = cs - base
+        return pd.DataFrame({"conv_id": conv,
+                             "turn_idx": g["turn_idx"].to_numpy().astype(np.int64),
+                             "session_idx": sess.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__shard").map_groups(split, batch_format="pandas"))

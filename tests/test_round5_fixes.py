@@ -1505,3 +1505,30 @@ def test_turn_gap_stats_planted(ray_session):
     assert out.loc["b", "n_gaps"] == 0
     assert out.loc["b", "sum_gap_s"] == 0
     assert out.loc["b", "max_gap_s"] == 0
+
+
+def test_split_conversation_sessions_planted(ray_session):
+    """split_conversation_sessions: break strictly-greater-than gap,
+    per-conv reset, cross-batch conversations, first turn session 0."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        split_conversation_sessions,
+    )
+
+    rows = [
+        # conv a: gaps 100 (no), 1800 (no: strict >), 1801 (break), 50 (no)
+        {"conv_id": "a", "turn_idx": 0, "ts_s": 0},
+        {"conv_id": "a", "turn_idx": 1, "ts_s": 100},
+        {"conv_id": "a", "turn_idx": 2, "ts_s": 1900},
+        {"conv_id": "a", "turn_idx": 3, "ts_s": 3701},
+        {"conv_id": "a", "turn_idx": 4, "ts_s": 3751},
+        # conv b: huge absolute ts but no internal break -> all session 0
+        {"conv_id": "b", "turn_idx": 0, "ts_s": 10_000_000},
+        {"conv_id": "b", "turn_idx": 1, "ts_s": 10_000_010},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    out = (split_conversation_sessions(ds, gap_seconds=1800)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert list(out["session_idx"]) == [0, 0, 0, 1, 1, 0, 0]
