@@ -1532,3 +1532,78 @@ def test_split_conversation_sessions_planted(ray_session):
            .to_pandas().sort_values(["conv_id", "turn_idx"])
            .reset_index(drop=True))
     assert list(out["session_idx"]) == [0, 0, 0, 1, 1, 0, 0]
+
+
+def test_wave5_ops_empty_input(ray_session):
+    """Wave-5 conversation-QA operators degrade to 0 rows on empty input."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        assistant_selfrep,
+        conversation_completeness,
+        split_conversation_sessions,
+        turn_gap_stats,
+    )
+    from chinese_corpus_cleaning_ray.stages.analysis import format_check
+
+    t = pa.table({"conv_id": pa.array([], pa.string()),
+                  "turn_idx": pa.array([], pa.int64()),
+                  "role": pa.array([], pa.string()),
+                  "text": pa.array([], pa.string()),
+                  "ts_s": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    assert len(assistant_selfrep(ds).to_pandas()) == 0
+    assert len(conversation_completeness(ds).to_pandas()) == 0
+    assert len(turn_gap_stats(ds).to_pandas()) == 0
+    assert len(split_conversation_sessions(ds).to_pandas()) == 0
+    assert len(format_check(ds, keep_cols=["conv_id"]).to_pandas()) == 0
+
+
+def test_wave5_ops_hot_conversation_skew(ray_session):
+    """One conversation holds 50x its siblings' turns, split across 37
+    blocks — wave-5 kernels stay correct (vectorized per-shard; the
+    completeness partial caps the hot conv's text at one row per batch)."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        assistant_selfrep,
+        conversation_completeness,
+        split_conversation_sessions,
+        turn_gap_stats,
+    )
+
+    rows = []
+    for i in range(500):  # hot conversation: alternating roles, looping text
+        rows.append({"conv_id": "hot", "turn_idx": i,
+                     "role": ["user", "assistant"][i % 2],
+                     "text": "loop" if i % 2 else f"q{i}",
+                     "ts_s": i * 100})
+    for c in range(10):
+        for i in range(10):
+            rows.append({"conv_id": f"c{c}", "turn_idx": i,
+                         "role": ["user", "assistant"][i % 2],
+                         "text": f"t-{c}-{i}。", "ts_s": i * 10})
+    ds = ray.data.from_items(rows, override_num_blocks=37)
+
+    rep = assistant_selfrep(ds).to_pandas().set_index("conv_id")
+    # hot: 250 assistant turns all "loop" -> 249 consecutive repeats
+    assert rep.loc["hot", "n_role_turns"] == 250
+    assert rep.loc["hot", "n_selfrep"] == 249
+    assert (rep.drop("hot")["n_selfrep"] == 0).all()
+
+    comp = conversation_completeness(ds).to_pandas().set_index("conv_id")
+    assert comp.loc["hot", "n_turns"] == 500
+    assert comp.loc["hot", "last_role"] == "assistant"
+    assert not bool(comp.loc["hot", "last_ends_clean"])   # "loop"
+    assert bool(comp.loc["c0", "conv_complete"])          # ends 。
+
+    gaps = turn_gap_stats(ds).to_pandas().set_index("conv_id")
+    assert gaps.loc["hot", "n_gaps"] == 499
+    assert gaps.loc["hot", "sum_gap_s"] == 499 * 100
+    assert gaps.loc["hot", "max_gap_s"] == 100
+
+    sess = split_conversation_sessions(ds, gap_seconds=99).to_pandas()
+    hot = sess[sess["conv_id"] == "hot"].sort_values("turn_idx")
+    assert list(hot["session_idx"]) == list(range(500))   # every gap breaks
+    cold = sess[sess["conv_id"] != "hot"]
+    assert (cold["session_idx"] == 0).all()               # gaps of 10 never
