@@ -1220,6 +1220,40 @@ def _q_transcripts_session_split(sf_dir: str):
     return df
 
 
+def _q_transcripts_conv_qa_gate(sf_dir: str):
+    """Composed conversation-level QA gate: completeness AND loop-rate
+    (n_selfrep*5 <= n_role_turns, integer-exact) AND starts-with-user.
+    Two deterministic injections give every gate signal: the selfrep
+    constant where turn_idx % 7 <= 3 (applied FIRST), then the fence
+    injection on doc_id % 7 in {3, 5} (same as transcripts_format_check).
+    Mirrors pipelines/conversations.py:conversation_qa_gate."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_qa_gate,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        s = batch.column("text").to_pandas().astype(str)
+        s = s.where(turn % 7 > 3, "抱歉，让我重试一次。")
+        s = s.where(doc % 7 != 3, s + "\n```python")
+        s = s.where(doc % 7 != 5, "```" + s + "```" + "。")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(s, pa.string()))
+
+    out = conversation_qa_gate(ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    for c in ("n_turns", "n_role_turns", "n_selfrep"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2785,12 +2819,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_complete": _q_transcripts_conv_complete,
         "transcripts_turn_latency": _q_transcripts_turn_latency,
         "transcripts_session_split": _q_transcripts_session_split,
+        "transcripts_conv_qa_gate": _q_transcripts_conv_qa_gate,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_duplicate_components": _q_doc_duplicate_components,
-        "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
@@ -2809,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_top_ngrams": _q_doc_top_ngrams,
         "doc_pii_redact": _q_doc_pii_redact,
@@ -4347,6 +4382,71 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY conv_id ORDER BY turn_idx
                              ROWS UNBOUNDED PRECEDING) AS session_idx
             FROM l ORDER BY conv_id, turn_idx
+        """,
+        # composed conversation QA gate: completeness (max-turn row fence /
+        # ending checks) AND integer loop-rate AND starts-with-user, joined
+        # per conv — mirrors pipelines/conversations.py:conversation_qa_gate
+        "transcripts_conv_qa_gate": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role,
+                              CASE WHEN doc_id % 7 = 3
+                                       THEN t1 || chr(10) || '```python'
+                                   WHEN doc_id % 7 = 5
+                                       THEN '```' || t1 || '```' || '。'
+                                   ELSE t1 END AS text
+                       FROM (SELECT *,
+                                    CASE WHEN turn_idx % 7 <= 3
+                                         THEN '抱歉，让我重试一次。'
+                                         ELSE text END AS t1
+                             FROM t)),
+                 a AS (SELECT conv_id, count(*) AS n_turns,
+                              max(turn_idx) AS mx
+                       FROM e GROUP BY conv_id),
+                 j AS (SELECT a.conv_id, a.n_turns, e.role AS last_role,
+                              e.text
+                       FROM a JOIN e ON e.conv_id = a.conv_id
+                                    AND e.turn_idx = a.mx),
+                 m AS (SELECT conv_id, n_turns, last_role,
+                              CAST((length(text) - length(replace(text, '```', ''))) / 3
+                                   AS BIGINT) AS nf,
+                              rtrim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                          || chr(11) || chr(12)) AS t2
+                       FROM j),
+                 c AS (SELECT conv_id, n_turns,
+                              (last_role = 'assistant' AND nf % 2 = 0 AND
+                               CASE WHEN length(t2) = 0 THEN FALSE
+                                    WHEN right(t2, 1) IN ('。','！','？','.',
+                                                          '!','?','…','"',
+                                                          '」','）',')')
+                                        THEN TRUE
+                                    ELSE FALSE END) AS conv_complete
+                       FROM m),
+                 r0 AS (SELECT conv_id, text,
+                               lag(text) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS prev
+                        FROM e WHERE role = 'assistant'),
+                 r AS (SELECT conv_id, count(*) AS n_role_turns,
+                              COALESCE(sum(CASE WHEN text = prev
+                                                THEN 1 ELSE 0 END), 0)
+                                  AS n_selfrep
+                       FROM r0 GROUP BY conv_id),
+                 s0 AS (SELECT conv_id, min(turn_idx) AS mn
+                        FROM e GROUP BY conv_id),
+                 s AS (SELECT s0.conv_id, e.role = 'user' AS starts_with_user
+                       FROM s0 JOIN e ON e.conv_id = s0.conv_id
+                                     AND e.turn_idx = s0.mn)
+            SELECT c.conv_id, c.n_turns, c.conv_complete,
+                   COALESCE(r.n_role_turns, 0) AS n_role_turns,
+                   COALESCE(r.n_selfrep, 0) AS n_selfrep,
+                   s.starts_with_user,
+                   (c.conv_complete
+                    AND COALESCE(r.n_selfrep, 0) * 5
+                        <= COALESCE(r.n_role_turns, 0)
+                    AND COALESCE(r.n_role_turns, 0) > 0
+                    AND s.starts_with_user) AS keep
+            FROM c JOIN s ON s.conv_id = c.conv_id
+                 LEFT JOIN r ON r.conv_id = c.conv_id
+            ORDER BY c.conv_id
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

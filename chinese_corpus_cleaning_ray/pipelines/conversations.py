@@ -1125,3 +1125,69 @@ def split_conversation_sessions(ds, ts_col: str = "ts_s",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("__shard").map_groups(split, batch_format="pandas"))
+
+
+def conversation_qa_gate(ds, max_selfrep_num: int = 1, max_selfrep_den: int = 5,
+                         shards: int = 256):
+    """Composed conversation-level QA gate — the structural keep decision a
+    transcript corpus passes before the per-turn quality pipeline:
+
+    keep = conv_complete                               (completeness gate)
+           AND n_selfrep * den <= n_role_turns * num   (loop-rate gate,
+                                                        INTEGER-exact:
+                                                        default <= 1/5)
+           AND starts_with_user                        (role-shape gate)
+
+    Conversations with zero assistant turns fail the loop-rate gate by
+    definition (no assistant turn stream to score) — they also always fail
+    completeness (the last turn cannot be an assistant turn), so the
+    composition is consistent.
+
+    Output: one row per conversation (conv_id, n_turns:int64,
+    conv_complete:bool, n_role_turns:int64, n_selfrep:int64,
+    starts_with_user:bool, keep:bool).
+
+    Plan: the three conv-level operators each produce one bounded row per
+    conversation from their own single pass (completeness ships one text
+    row per conv per batch; selfrep ships one role's text once; role_check
+    ships role codes only), then two ``hash_join``s on conv_id — conv-sized
+    inputs, the same one-shuffle union+groupby join the SFT flagship uses.
+    A conversation absent from the selfrep stream (no assistant turns)
+    survives the LEFT join with n_role_turns = n_selfrep = 0."""
+    from chinese_corpus_cleaning_ray.stages.joins import hash_join
+
+    comp = conversation_completeness(ds, shards=shards).select_columns(
+        ["conv_id", "n_turns", "conv_complete"])
+    rep = assistant_selfrep(ds, shards=shards)
+    roles = conversation_role_check(ds, shards=shards).select_columns(
+        ["conv_id", "starts_with_user"])
+
+    j = hash_join(comp, rep, on="conv_id", how="left")
+    j = hash_join(j, roles, on="conv_id", how="inner")
+
+    def decide(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_role = pc.fill_null(pc.cast(batch.column("n_role_turns"),
+                                      pa.int64()), 0)
+        n_rep = pc.fill_null(pc.cast(batch.column("n_selfrep"),
+                                     pa.int64()), 0)
+        rep_ok = pc.less_equal(
+            pc.multiply(n_rep, pa.scalar(max_selfrep_den, pa.int64())),
+            pc.multiply(n_role, pa.scalar(max_selfrep_num, pa.int64())))
+        # zero assistant turns: 0 <= 0 passes the inequality, but the gate
+        # defines it as a fail — there is no assistant stream to certify
+        rep_ok = pc.and_(rep_ok, pc.greater(n_role, pa.scalar(0, pa.int64())))
+        keep = pc.and_(pc.and_(batch.column("conv_complete"), rep_ok),
+                       batch.column("starts_with_user"))
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "n_turns": pc.cast(batch.column("n_turns"), pa.int64()),
+            "conv_complete": batch.column("conv_complete"),
+            "n_role_turns": n_role,
+            "n_selfrep": n_rep,
+            "starts_with_user": batch.column("starts_with_user"),
+            "keep": keep,
+        })
+
+    return j.map_batches(decide, batch_format="pyarrow")

@@ -1607,3 +1607,44 @@ def test_wave5_ops_hot_conversation_skew(ray_session):
     assert list(hot["session_idx"]) == list(range(500))   # every gap breaks
     cold = sess[sess["conv_id"] != "hot"]
     assert (cold["session_idx"] == 0).all()               # gaps of 10 never
+
+
+def test_conversation_qa_gate_planted(ray_session):
+    """conversation_qa_gate: each gate independently controls keep; a conv
+    with no assistant turns fails; LEFT-join null fill is exercised."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_qa_gate,
+    )
+
+    def conv(cid, texts_roles):
+        return [{"conv_id": cid, "turn_idx": i, "role": r, "text": t}
+                for i, (r, t) in enumerate(texts_roles)]
+
+    rows = (
+        # good: starts user, ends assistant cleanly, no repeats -> keep
+        conv("good", [("user", "q?"), ("assistant", "a。"),
+                      ("user", "r?"), ("assistant", "b。")])
+        # loopy: 5 assistant turns, 4 repeats (4*5 > 5*1) -> fail loop gate
+        + conv("loopy", [("user", "q?")] +
+               [("assistant", "same。")] * 5)
+        # startless: starts with assistant -> fail role gate
+        + conv("startless", [("assistant", "a。"), ("user", "q?"),
+                             ("assistant", "b。")])
+        # truncated: last assistant turn mid-sentence -> fail completeness
+        + conv("truncated", [("user", "q?"), ("assistant", "cut off")])
+        # noassist: user-only -> fails completeness AND loop gate (n=0)
+        + conv("noassist", [("user", "q?"), ("user", "again?")])
+    )
+    out = (conversation_qa_gate(ray.data.from_items(rows))
+           .to_pandas().set_index("conv_id"))
+    assert bool(out.loc["good", "keep"])
+    assert not bool(out.loc["loopy", "keep"])
+    assert out.loc["loopy", "n_selfrep"] == 4
+    assert not bool(out.loc["startless", "keep"])
+    assert not bool(out.loc["startless", "starts_with_user"])
+    assert not bool(out.loc["truncated", "keep"])
+    assert not bool(out.loc["truncated", "conv_complete"])
+    assert not bool(out.loc["noassist", "keep"])
+    assert out.loc["noassist", "n_role_turns"] == 0
