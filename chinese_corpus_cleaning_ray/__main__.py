@@ -229,6 +229,16 @@ def main(argv: list[str] | None = None) -> int:
                          "identical first-K-turn (role, text) prefix")
     sf.add_argument("--num-cpus", type=int, default=None)
 
+    cq = sub.add_parser("convqa")
+    cq.add_argument("--input", required=True,
+                    help="transcript parquet (conv_id, turn_idx, role, text)")
+    cq.add_argument("--output", required=True,
+                    help="conv-level gate table (one row per conversation)")
+    cq.add_argument("--max-selfrep-num", type=int, default=1)
+    cq.add_argument("--max-selfrep-den", type=int, default=5,
+                    help="keep requires n_selfrep*den <= n_role_turns*num")
+    cq.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -517,6 +527,40 @@ def main(argv: list[str] | None = None) -> int:
             out = out.materialize()
             out.write_parquet(args.output)
             print(json.dumps({"pairs": out.count(), "out": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "convqa":
+        # conversation-level structural QA gate: completeness AND loop-rate
+        # AND starts-with-user, one row per conversation
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.pipelines.conversations import (
+                conversation_qa_gate,
+            )
+
+            ds = rd.read_parquet(
+                args.input, columns=["conv_id", "turn_idx", "role", "text"])
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            out = conversation_qa_gate(
+                ds, max_selfrep_num=args.max_selfrep_num,
+                max_selfrep_den=args.max_selfrep_den).materialize()
+
+            def _kept(batch: _pa.Table) -> _pa.Table:
+                n = _pc.sum(_pc.cast(batch.column("keep"), _pa.int64()))
+                return _pa.table({"n": _pa.array([n.as_py() or 0], _pa.int64())})
+
+            kept = int(out.map_batches(
+                _kept, batch_format="pyarrow").sum("n") or 0)
+            out.write_parquet(args.output)
+            print(json.dumps({"convs": out.count(), "kept": kept,
+                              "out": args.output}))
             return 0
         finally:
             if owned:

@@ -1648,3 +1648,46 @@ def test_conversation_qa_gate_planted(ray_session):
     assert not bool(out.loc["truncated", "conv_complete"])
     assert not bool(out.loc["noassist", "keep"])
     assert out.loc["noassist", "n_role_turns"] == 0
+
+
+def test_cli_convqa(tmp_path):
+    """End-to-end: transcript parquet -> convqa CLI -> conv-level gate
+    parquet; kept count matches the gate semantics."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    rows = []
+    # good: user -> assistant ending cleanly
+    rows += [("good", 0, "user", "q?"), ("good", 1, "assistant", "a。")]
+    # loopy: 5 identical assistant turns after a user start
+    rows += [("loopy", 0, "user", "q?")]
+    rows += [("loopy", i, "assistant", "same。") for i in range(1, 6)]
+    # trunc: last assistant turn mid-sentence
+    rows += [("trunc", 0, "user", "q?"), ("trunc", 1, "assistant", "cut")]
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    }), src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "convqa",
+         "--input", src, "--output", str(tmp_path / "gate"),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["convs"] == 3 and m["kept"] == 1
+    got = pq.read_table(str(tmp_path / "gate")).to_pandas().set_index("conv_id")
+    assert bool(got.loc["good", "keep"])
+    assert not bool(got.loc["loopy", "keep"]) and got.loc["loopy", "n_selfrep"] == 4
+    assert not bool(got.loc["trunc", "keep"])
+    assert not bool(got.loc["trunc", "conv_complete"])
