@@ -981,7 +981,11 @@ def _q_transcripts_sft_pipeline(sf_dir: str):
     ).map_batches(quality_only, batch_format="pyarrow")
 
     kept = hash_join(dedup_keep, quality_keep, on="conv_id", how="inner")
-    filtered = hash_join(ds, kept, on="conv_id", how="inner")
+    # the big stream never joins: keep-set membership via semi_filter
+    # (broadcast under the limit — zero shuffle for the 4M-row side)
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import semi_filter
+
+    filtered, _ = semi_filter(ds, kept, "conv_id")
     out = build_sft_pairs(filtered, context_turns=3)
     df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
                                      kind="mergesort").reset_index(drop=True)

@@ -514,7 +514,9 @@ def main(argv: list[str] | None = None) -> int:
             ds = rd.read_parquet(
                 args.input, columns=["conv_id", "turn_idx", "role", "text"])
             if args.dedup_prefix > 0:
-                from chinese_corpus_cleaning_ray.stages.joins import hash_join
+                from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+                    semi_filter,
+                )
 
                 def _keepers(batch: _pa.Table) -> _pa.Table:
                     return batch.filter(batch.column("keep")).select(["conv_id"])
@@ -522,7 +524,7 @@ def main(argv: list[str] | None = None) -> int:
                 kept = conversation_prefix_dedup(
                     ds, k=args.dedup_prefix).map_batches(
                         _keepers, batch_format="pyarrow")
-                ds = hash_join(ds, kept, on="conv_id", how="inner")
+                ds, _ = semi_filter(ds, kept, "conv_id")
             out = build_sft_pairs(ds, context_turns=args.context_turns)
             out = out.materialize()
             out.write_parquet(args.output)

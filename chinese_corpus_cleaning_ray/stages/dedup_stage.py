@@ -56,7 +56,8 @@ def _pow2_shards(n_rows: int, target_rows: int, lo: int = 64,
 
 
 def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
-                broadcast_limit: int = 2_000_000):
+                broadcast_limit: int = 2_000_000,
+                _keep_matches: bool = False):
     """Shared ending for every dedup: remove rows of ``ds`` whose ``id_col``
     appears in ``dup_ids_ds`` (a one-column Dataset of duplicate ids, possibly
     with repeats and possibly containing the schema-less empty blocks a
@@ -86,6 +87,9 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
         if strategy == "auto":
             strategy = "broadcast" if n_dups <= broadcast_limit else "join"
         if strategy == "join" and n_dups == 0:
+            if _keep_matches:
+                return (ds.map_batches(lambda b: b.slice(0, 0),
+                                       batch_format="pyarrow"), dup_ids_ds)
             return ds, dup_ids_ds
 
     if strategy == "join":
@@ -164,10 +168,9 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
             # (timestamps especially) pass through bit-identical
             is_dup = pc.equal(group.column("__is_dup"), 1)
             dup_vals = group.filter(is_dup).column(id_col).combine_chunks()
-            mask = pc.and_(
-                pc.invert(is_dup),
-                pc.invert(pc.is_in(group.column(id_col), value_set=dup_vals)),
-            )
+            hit = pc.is_in(group.column(id_col), value_set=dup_vals)
+            mask = pc.and_(pc.invert(is_dup),
+                           hit if _keep_matches else pc.invert(hit))
             return group.filter(mask).drop_columns(["__shard", "__is_dup"])
 
         out = (
@@ -184,6 +187,9 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
     dup_pdf = dup_ids_ds.to_pandas()
     dup_ids = sorted(set(dup_pdf[id_col])) if len(dup_pdf) else []
     if not dup_ids:
+        if _keep_matches:
+            return (ds.map_batches(lambda b: b.slice(0, 0),
+                                   batch_format="pyarrow"), [])
         return ds, []
     try:
         import ray
@@ -199,10 +205,26 @@ def anti_filter(ds, dup_ids_ds, id_col: str, strategy: str = "auto",
         if isinstance(dups, _ray.ObjectRef):
             dups = _ray.get(dups)
         col = batch.column(id_col)
-        mask = pc.invert(pc.is_in(col, value_set=dups.cast(col.type)))
+        hit = pc.is_in(col, value_set=dups.cast(col.type))
+        mask = hit if _keep_matches else pc.invert(hit)
         return batch.filter(mask)
 
     return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_ids
+
+
+def semi_filter(ds, keep_ids_ds, id_col: str, strategy: str = "auto",
+                broadcast_limit: int = 2_000_000):
+    """Keep ONLY rows of ``ds`` whose ``id_col`` appears in ``keep_ids_ds``
+    — the positive (semi-join) twin of :func:`anti_filter`, sharing its
+    auto broadcast/distributed-join valve. The common shape it replaces is
+    ``hash_join(big_corpus, small_keep_set)``: when the keep set fits the
+    broadcast limit, the corpus never shuffles at all (one ``ray.put`` +
+    a vectorized ``is_in`` per batch); above the limit it degrades to the
+    same co-sharded union+groupby membership plan as anti_filter, still
+    one exchange and never a driver collect. Returns ``(filtered_ds,
+    keep_ids)`` exactly like anti_filter."""
+    return anti_filter(ds, keep_ids_ds, id_col, strategy=strategy,
+                       broadcast_limit=broadcast_limit, _keep_matches=True)
 
 
 def make_row_key(batch: pa.Table) -> pa.Table:

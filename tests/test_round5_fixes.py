@@ -1691,3 +1691,26 @@ def test_cli_convqa(tmp_path):
     assert not bool(got.loc["loopy", "keep"]) and got.loc["loopy", "n_selfrep"] == 4
     assert not bool(got.loc["trunc", "keep"])
     assert not bool(got.loc["trunc", "conv_complete"])
+
+
+def test_semi_filter_both_strategies(ray_session):
+    """semi_filter: broadcast and join paths agree with each other and with
+    the membership semantics; empty keep-set yields an empty dataset with
+    the input schema preserved."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import semi_filter
+
+    rows = [{"doc_id": i, "text": f"t{i}"} for i in range(100)]
+    ds = ray.data.from_items(rows, override_num_blocks=7)
+    keep = ray.data.from_items([{"doc_id": i} for i in range(0, 100, 3)])
+
+    for strat in ("broadcast", "join"):
+        out, _ = semi_filter(ds, keep, "doc_id", strategy=strat)
+        got = sorted(out.to_pandas()["doc_id"])
+        assert got == list(range(0, 100, 3)), strat
+
+    empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    out, ids = semi_filter(ds, empty, "doc_id")
+    assert out.count() == 0 and ids == []
+    assert set(out.schema().names) == {"doc_id", "text"}
