@@ -4308,7 +4308,8 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY turn_idx) AS prev
                        FROM e)
             SELECT conv_id, count(*) AS n_role_turns,
-                   COALESCE(sum(CASE WHEN text = prev THEN 1 ELSE 0 END), 0)
+                   CAST(COALESCE(sum(CASE WHEN text = prev
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
                        AS n_selfrep
             FROM l GROUP BY conv_id ORDER BY conv_id
         """,
@@ -4364,7 +4365,7 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY turn_idx) - ts_s AS gap
                        FROM e)
             SELECT conv_id, count(gap) AS n_gaps,
-                   COALESCE(sum(gap), 0) AS sum_gap_s,
+                   CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap_s,
                    COALESCE(max(gap), 0) AS max_gap_s
             FROM l GROUP BY conv_id ORDER BY conv_id
         """,
@@ -4382,9 +4383,10 @@ def oracle_sql() -> dict[str, str]:
                                                      ORDER BY turn_idx) AS gap
                        FROM e)
             SELECT conv_id, turn_idx,
-                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY conv_id ORDER BY turn_idx
-                             ROWS UNBOUNDED PRECEDING) AS session_idx
+                   CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_idx
             FROM l ORDER BY conv_id, turn_idx
         """,
         # composed conversation QA gate: completeness (max-turn row fence /
@@ -4430,9 +4432,9 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY turn_idx) AS prev
                         FROM e WHERE role = 'assistant'),
                  r AS (SELECT conv_id, count(*) AS n_role_turns,
-                              COALESCE(sum(CASE WHEN text = prev
-                                                THEN 1 ELSE 0 END), 0)
-                                  AS n_selfrep
+                              CAST(COALESCE(sum(CASE WHEN text = prev
+                                                     THEN 1 ELSE 0 END), 0)
+                                   AS BIGINT) AS n_selfrep
                        FROM r0 GROUP BY conv_id),
                  s0 AS (SELECT conv_id, min(turn_idx) AS mn
                         FROM e GROUP BY conv_id),
