@@ -1258,6 +1258,36 @@ def _q_transcripts_conv_qa_gate(sf_dir: str):
     return df
 
 
+def _q_transcripts_response_dedup(sf_dir: str):
+    """GLOBAL assistant-response dedup (templated-answer collapse): keep
+    the first (conv_id, turn_idx) occurrence of every distinct assistant
+    text across the whole corpus — the cross-conversation complement of
+    transcripts_turn_dedup. Reuses the content-hash-sharded exact_dedup
+    with the composite row_key as the keep-first ordering (row_key's
+    lexicographic order == (conv_id, turn_idx) here: fixed-width conv ids,
+    zero-padded turn). Mirrors stages/dedup_stage.py:exact_dedup +
+    make_row_key."""
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        exact_dedup,
+        make_row_key,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def asst(batch: pa.Table) -> pa.Table:
+        return make_row_key(
+            batch.filter(pc.equal(batch.column("role"), "assistant")))
+
+    out = exact_dedup(
+        ds.map_batches(asst, batch_format="pyarrow"),
+        id_col="row_key", num_rows_hint=2_000_000,
+    ).select_columns(["conv_id", "turn_idx", "text"])
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2824,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_turn_latency": _q_transcripts_turn_latency,
         "transcripts_session_split": _q_transcripts_session_split,
         "transcripts_conv_qa_gate": _q_transcripts_conv_qa_gate,
+        "transcripts_response_dedup": _q_transcripts_response_dedup,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2832,7 +2863,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
-        "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_repetition_signals": _q_doc_repetition_signals,
@@ -2847,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
         "doc_top_ngrams": _q_doc_top_ngrams,
@@ -4453,6 +4484,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN s ON s.conv_id = c.conv_id
                  LEFT JOIN r ON r.conv_id = c.conv_id
             ORDER BY c.conv_id
+        """,
+        # global assistant-response dedup: keep-first by (conv_id, turn_idx)
+        # per distinct text over the assistant stream — mirrors
+        # stages/dedup_stage.py:exact_dedup with the composite row_key order
+        "transcripts_response_dedup": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 a AS (SELECT conv_id, turn_idx, text,
+                              row_number() OVER (PARTITION BY text
+                                                 ORDER BY conv_id, turn_idx)
+                                  AS rn
+                       FROM t WHERE role = 'assistant')
+            SELECT conv_id, turn_idx, text
+            FROM a WHERE rn = 1 ORDER BY conv_id, turn_idx
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

@@ -922,6 +922,13 @@ def assistant_selfrep(ds, role: str = "assistant", text_col: str = "text",
 
         batch = batch.filter(pc.equal(batch.column("role"), role))
         batch = batch.select(["conv_id", "turn_idx", text_col])
+        # null-text contract: treated as "" (two consecutive null turns ARE
+        # a repeat) — stated here because numpy object equality would
+        # otherwise silently diverge from any SQL restatement
+        idx = batch.schema.get_field_index(text_col)
+        batch = batch.set_column(
+            idx, text_col,
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""))
         keys = pd.Series(batch.column("conv_id").to_pandas())
         sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
               % np.uint64(shards)).astype(np.int32)
@@ -972,6 +979,9 @@ def conversation_completeness(ds, text_col: str = "text", shards: int = 256):
 
     def partials(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "role", text_col]).to_pandas()
+        # null-text contract: treated as "" (an all-null last turn is
+        # incomplete, never the string "None")
+        df[text_col] = df[text_col].fillna("")
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         n = df.groupby("conv_id", sort=False)["turn_idx"].transform("size")
         df = df.assign(__n=n.astype(np.int64)).drop_duplicates(
@@ -1170,6 +1180,8 @@ def conversation_qa_gate(ds, max_selfrep_num: int = 1, max_selfrep_den: int = 5,
 
     def prep(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "role", "text"]).to_pandas()
+        # null-text contract: treated as "" (matches the standalone ops)
+        df["text"] = df["text"].fillna("")
         is_asst = (df["role"] == "assistant").to_numpy()
         mx = df.groupby("conv_id", sort=False)["turn_idx"].transform("max")
         keep_text = is_asst | (df["turn_idx"].to_numpy() == mx.to_numpy())

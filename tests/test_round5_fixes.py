@@ -1714,3 +1714,36 @@ def test_semi_filter_both_strategies(ray_session):
     out, ids = semi_filter(ds, empty, "doc_id")
     assert out.count() == 0 and ids == []
     assert set(out.schema().names) == {"doc_id", "text"}
+
+
+def test_wave5_ops_null_text(ray_session):
+    """Null-text contract: nulls behave as empty strings — two consecutive
+    null assistant turns count as a repeat; a null last turn is incomplete
+    (never the literal string 'None')."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        assistant_selfrep,
+        conversation_completeness,
+        conversation_qa_gate,
+    )
+
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 4, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int64()),
+        "role": pa.array(["user", "assistant", "assistant", "assistant"],
+                         pa.string()),
+        "text": pa.array(["q?", None, None, None], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+
+    rep = assistant_selfrep(ds).to_pandas().set_index("conv_id")
+    assert rep.loc["a", "n_selfrep"] == 2   # null==null as ""==""
+
+    comp = conversation_completeness(ds).to_pandas().set_index("conv_id")
+    assert not bool(comp.loc["a", "last_ends_clean"])   # "" is not "None"
+    assert not bool(comp.loc["a", "conv_complete"])
+
+    gate = conversation_qa_gate(ds).to_pandas().set_index("conv_id")
+    assert gate.loc["a", "n_selfrep"] == 2
+    assert not bool(gate.loc["a", "keep"])
