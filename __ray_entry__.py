@@ -1288,6 +1288,33 @@ def _q_transcripts_response_dedup(sf_dir: str):
     return df
 
 
+def _q_transcripts_incr_prefix_dedup(sf_dir: str):
+    """Incremental conversation ingestion: conversations conv-0050.. (the
+    'new' batch) prefix-deduped against the committed conv-0000..conv-0049,
+    then keep-first among themselves. Fixed-width conv ids make the split a
+    plain string compare on both sides. Mirrors
+    pipelines/conversations.py:incremental_prefix_dedup."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        incremental_prefix_dedup,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def split(cmp):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = cmp(batch.column("conv_id"), "conv-0050")
+            return batch.filter(mask)
+        return fn
+
+    seen = ds.map_batches(split(pc.less), batch_format="pyarrow")
+    new = ds.map_batches(split(pc.greater_equal), batch_format="pyarrow")
+    out = incremental_prefix_dedup(new, seen, k=3)
+    df = out.to_pandas().sort_values("conv_id",
+                                     kind="mergesort").reset_index(drop=True)
+    df["n_prefix_turns"] = df["n_prefix_turns"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2855,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_session_split": _q_transcripts_session_split,
         "transcripts_conv_qa_gate": _q_transcripts_conv_qa_gate,
         "transcripts_response_dedup": _q_transcripts_response_dedup,
+        "transcripts_incr_prefix_dedup": _q_transcripts_incr_prefix_dedup,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
@@ -2863,7 +2891,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
-        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_repetition_signals": _q_doc_repetition_signals,
         "events_heavy_users_per_type": _q_events_heavy_users_per_type,
@@ -2877,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
         "doc_clean_pipeline": _q_doc_clean_pipeline,
@@ -4497,6 +4525,33 @@ def oracle_sql() -> dict[str, str]:
                        FROM t WHERE role = 'assistant')
             SELECT conv_id, turn_idx, text
             FROM a WHERE rn = 1 ORDER BY conv_id, turn_idx
+        """,
+        # incremental conversation ingestion: new-batch prefixes anti-joined
+        # against committed prefixes, then keep-first (min conv_id) among
+        # the new side — mirrors
+        # pipelines/conversations.py:incremental_prefix_dedup
+        "transcripts_incr_prefix_dedup": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 r AS (SELECT conv_id, role, text,
+                              row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS rn
+                       FROM t),
+                 p AS (SELECT conv_id,
+                              string_agg(role || chr(30) || text, chr(31)
+                                         ORDER BY rn) AS prefix,
+                              CAST(count(*) AS BIGINT) AS n_prefix_turns
+                       FROM r WHERE rn <= 3 GROUP BY conv_id),
+                 newp AS (SELECT * FROM p WHERE conv_id >= 'conv-0050'),
+                 survivors AS (SELECT * FROM newp
+                               WHERE prefix NOT IN
+                                     (SELECT prefix FROM p
+                                      WHERE conv_id < 'conv-0050')),
+                 lab AS (SELECT conv_id, n_prefix_turns,
+                                min(conv_id) OVER (PARTITION BY prefix)
+                                    AS keeper
+                         FROM survivors)
+            SELECT conv_id, n_prefix_turns
+            FROM lab WHERE conv_id = keeper ORDER BY conv_id
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

@@ -523,37 +523,18 @@ def conversation_role_check(ds, shards: int = 256):
     )
 
 
-def conversation_prefix_dedup(ds, k: int = 3, text_col: str = "text",
-                              shards: int = 256):
-    """Cross-conversation PREFIX dedup: two conversations are duplicates when
-    their first ``k`` turns (rank by ``turn_idx``) carry identical
-    (role, text) sequences — the dominant duplication mode in agent
-    transcripts, where reruns share a verbatim system-prompt + task prefix
-    and diverge only in the tail. Keeps the min-``conv_id`` conversation of
-    each prefix group and labels every conversation.
+def conversation_prefixes(ds, k: int = 3, text_col: str = "text",
+                          shards: int = 256):
+    """Per-conversation first-``k``-turn prefix strings: one row per
+    conversation (conv_id, n_prefix_turns:int64, __prefix) where __prefix
+    is the separator-joined (role, text) sequence of the k smallest-
+    turn_idx turns (all turns when the conversation is shorter). The
+    shared first stage of prefix dedup and incremental prefix dedup.
 
-    Exact semantics (bit-restatable in SQL): prefix(conv) =
-    string_agg(role || US1 || text, US2 ORDER BY turn_idx) over the rows
-    with row_number() ≤ k; keeper(conv) = min(conv_id) OVER
-    (PARTITION BY prefix). Conversations with fewer than ``k`` turns use
-    all their turns — the separator-joined encoding keeps a 2-turn prefix
-    from ever colliding with the first 2 turns of a 3-turn prefix.
-
-    Output: one row per conversation
-    (conv_id, n_prefix_turns, keep, keeper_conv_id), no particular order.
-
-    Plan (two bounded shuffles, document text never ships in full):
-    1. per-batch pre-prune: keep only each conversation's k smallest-
-       turn_idx rows IN THIS BATCH (a superset of the global first-k, since
-       the global first-k is contained in the union of batch-local
-       first-k) — so the conv-shard shuffle moves ≤ k rows per conversation
-       per batch it appears in, not the whole transcript;
-    2. conv-hash shard → per-shard vectorized first-k + prefix build
-       (one row per conversation leaves this stage);
-    3. prefix-content-hash shard → per-shard keep-first on the EXACT prefix
-       string (the hash only routes; a collision can never merge distinct
-       prefixes), same discipline as ``stages.dedup_stage.exact_dedup``.
-    """
+    Plan: per-batch pre-prune to each conversation's batch-local first-k
+    (a superset of the global first-k) -> conv-hash shard -> per-shard
+    vectorized first-k + prefix build; <= k rows per conversation per
+    batch ever ship."""
     import pyarrow.compute as pc
 
     if k < 1:
@@ -599,6 +580,42 @@ def conversation_prefix_dedup(ds, k: int = 3, text_col: str = "text",
         .groupby("__shard")
         .map_groups(build_prefix, batch_format="pandas")
     )
+    return prefixes
+
+
+def conversation_prefix_dedup(ds, k: int = 3, text_col: str = "text",
+                              shards: int = 256):
+    """Cross-conversation PREFIX dedup: two conversations are duplicates when
+    their first ``k`` turns (rank by ``turn_idx``) carry identical
+    (role, text) sequences — the dominant duplication mode in agent
+    transcripts, where reruns share a verbatim system-prompt + task prefix
+    and diverge only in the tail. Keeps the min-``conv_id`` conversation of
+    each prefix group and labels every conversation.
+
+    Exact semantics (bit-restatable in SQL): prefix(conv) =
+    string_agg(role || US1 || text, US2 ORDER BY turn_idx) over the rows
+    with row_number() ≤ k; keeper(conv) = min(conv_id) OVER
+    (PARTITION BY prefix). Conversations with fewer than ``k`` turns use
+    all their turns — the separator-joined encoding keeps a 2-turn prefix
+    from ever colliding with the first 2 turns of a 3-turn prefix.
+
+    Output: one row per conversation
+    (conv_id, n_prefix_turns, keep, keeper_conv_id), no particular order.
+
+    Plan (two bounded shuffles, document text never ships in full):
+    1. per-batch pre-prune: keep only each conversation's k smallest-
+       turn_idx rows IN THIS BATCH (a superset of the global first-k, since
+       the global first-k is contained in the union of batch-local
+       first-k) — so the conv-shard shuffle moves ≤ k rows per conversation
+       per batch it appears in, not the whole transcript;
+    2. conv-hash shard → per-shard vectorized first-k + prefix build
+       (one row per conversation leaves this stage);
+    3. prefix-content-hash shard → per-shard keep-first on the EXACT prefix
+       string (the hash only routes; a collision can never merge distinct
+       prefixes), same discipline as ``stages.dedup_stage.exact_dedup``.
+    """
+    prefixes = conversation_prefixes(ds, k=k, text_col=text_col,
+                                     shards=shards)
 
     def add_prefix_shard(batch: pa.Table) -> pa.Table:
         from chinese_corpus_cleaning_ray.stages.dedup_stage import (
@@ -1249,3 +1266,42 @@ def conversation_qa_gate(ds, max_selfrep_num: int = 1, max_selfrep_den: int = 5,
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("__shard").map_groups(gate, batch_format="pandas"))
+
+
+def incremental_prefix_dedup(new_ds, seen_ds, k: int = 3,
+                             text_col: str = "text", shards: int = 256):
+    """Incremental conversation ingestion — today's transcript batch vs the
+    committed corpus: drop every NEW conversation whose first-``k``
+    (role, text) prefix already exists among the committed conversations,
+    then keep-first (min conv_id) among the new conversations that share a
+    prefix with each other. The daily-rerun shape: yesterday's corpus never
+    re-ships, today's reruns of yesterday's tasks collapse.
+
+    Output: the kept NEW conversations' prefix rows
+    (conv_id, n_prefix_turns:int64) — semi_filter the turn stream by these
+    conv_ids to materialize the surviving transcripts.
+
+    Plan: both sides reduce to one bounded prefix row per conversation
+    (``conversation_prefixes`` — ≤ k rows/conv/batch ship, never the
+    transcript body); the committed side then reduces further to 64-bit
+    prefix hashes through ``dedup_against_corpus`` (8 bytes per seen
+    conversation, broadcast under the limit / co-sharded join above it),
+    which also performs the keep-first among the new side. Mirrors the
+    documents-shape ``doc_incremental_dedup`` contract on the transcripts
+    shape."""
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        dedup_against_corpus,
+    )
+
+    # materialize the conv-sized prefix table: dedup_against_corpus counts
+    # its input for shard sizing, and counting a derived plan would execute
+    # the whole prefix build twice (the table is one bounded row per new
+    # conversation — blocks spill rather than re-scan)
+    newp = conversation_prefixes(new_ds, k=k, text_col=text_col,
+                                 shards=shards).materialize()
+    seenp = conversation_prefixes(seen_ds, k=k, text_col=text_col,
+                                  shards=shards).select_columns(["__prefix"])
+    kept, _ = dedup_against_corpus(newp, seenp, id_col="conv_id",
+                                   text_col="__prefix",
+                                   seen_text_col="__prefix")
+    return kept.select_columns(["conv_id", "n_prefix_turns"])

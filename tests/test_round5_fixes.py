@@ -1747,3 +1747,31 @@ def test_wave5_ops_null_text(ray_session):
     gate = conversation_qa_gate(ds).to_pandas().set_index("conv_id")
     assert gate.loc["a", "n_selfrep"] == 2
     assert not bool(gate.loc["a", "keep"])
+
+
+def test_incremental_prefix_dedup_planted(ray_session):
+    """incremental_prefix_dedup: seen-prefix collision drops the new conv;
+    new-vs-new shared prefixes keep min conv_id; distinct prefixes survive;
+    short conversations use all turns."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        incremental_prefix_dedup,
+    )
+
+    def conv(cid, texts):
+        return [{"conv_id": cid, "turn_idx": i,
+                 "role": ["user", "assistant"][i % 2], "text": t}
+                for i, t in enumerate(texts)]
+
+    seen_rows = conv("old-1", ["sys", "task", "go", "old-tail"])
+    new_rows = (conv("new-1", ["sys", "task", "go", "rerun-tail"])   # = old-1 prefix -> drop
+                + conv("new-2", ["sys", "task", "NO", "x"])          # distinct -> keep
+                + conv("new-3", ["sys", "task", "NO", "y"])          # = new-2 prefix -> new-2 wins
+                + conv("new-4", ["solo"]))                           # short, distinct -> keep
+    out = incremental_prefix_dedup(
+        ray.data.from_items(new_rows, override_num_blocks=3),
+        ray.data.from_items(seen_rows), k=3).to_pandas()
+    kept = sorted(out["conv_id"])
+    assert kept == ["new-2", "new-4"], kept
+    assert out.set_index("conv_id").loc["new-4", "n_prefix_turns"] == 1
