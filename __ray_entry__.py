@@ -1315,6 +1315,15 @@ def _q_transcripts_incr_prefix_dedup(sf_dir: str):
     return df
 
 
+def _q_transcripts_profile(sf_dir: str):
+    """Tidy integer-exact corpus profile (metric, value). Mirrors
+    pipelines/conversations.py:corpus_profile."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import corpus_profile
+
+    df = corpus_profile(_transcripts_ds(sf_dir))
+    return df.sort_values("metric", kind="mergesort").reset_index(drop=True)
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2883,10 +2892,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_qa_gate": _q_transcripts_conv_qa_gate,
         "transcripts_response_dedup": _q_transcripts_response_dedup,
         "transcripts_incr_prefix_dedup": _q_transcripts_incr_prefix_dedup,
+        "transcripts_profile": _q_transcripts_profile,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
-        "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
@@ -2904,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_cluster_dedup": _q_doc_cluster_dedup,
@@ -4552,6 +4562,27 @@ def oracle_sql() -> dict[str, str]:
                          FROM survivors)
             SELECT conv_id, n_prefix_turns
             FROM lab WHERE conv_id = keeper ORDER BY conv_id
+        """,
+        # tidy integer-exact corpus profile (metric, value) — mirrors
+        # pipelines/conversations.py:corpus_profile; metric-sorted union of
+        # scalar aggregates, no floats anywhere
+        "transcripts_profile": f"""
+            WITH t AS ({_DERIVE_SQL})
+            SELECT metric, value FROM (
+                SELECT 'n_turns' AS metric,
+                       CAST(count(*) AS BIGINT) AS value FROM t
+                UNION ALL
+                SELECT 'n_convs', CAST(count(DISTINCT conv_id) AS BIGINT) FROM t
+                UNION ALL
+                SELECT 'total_chars', CAST(sum(length(text)) AS BIGINT) FROM t
+                UNION ALL
+                SELECT 'max_turn_idx', CAST(max(turn_idx) AS BIGINT) FROM t
+                UNION ALL
+                SELECT 'n_roles', CAST(count(DISTINCT role) AS BIGINT) FROM t
+                UNION ALL
+                SELECT 'turns_role_' || role, CAST(count(*) AS BIGINT)
+                FROM t GROUP BY role
+            ) ORDER BY metric
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

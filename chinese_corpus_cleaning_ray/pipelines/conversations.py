@@ -1305,3 +1305,58 @@ def incremental_prefix_dedup(new_ds, seen_ds, k: int = 3,
                                    text_col="__prefix",
                                    seen_text_col="__prefix")
     return kept.select_columns(["conv_id", "n_prefix_turns"])
+
+
+def corpus_profile(ds, text_col: str = "text"):
+    """One-call corpus profile — the first thing run on a new transcript
+    drop: a tidy (metric:string, value:int64) table with
+    ``n_turns``, ``n_convs``, ``total_chars``, ``max_turn_idx``,
+    ``n_roles``, and one ``turns_role_<role>`` row per distinct role.
+    Integer-exact by construction, so the whole profile is bit-restatable
+    in SQL (no float means).
+
+    Plan: one pass of per-batch partials — per (conv, role): count,
+    char-sum, max turn (Arrow hash aggregation, no text leaves the scan
+    beyond its length) — then a single tiny groupby over conv×role rows
+    and a driver-side fold of the ≤ convs×roles aggregate. The only
+    exchange carries 4-column integer rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": batch.column("conv_id"),
+            "role": batch.column("role"),
+            "chars": pc.utf8_length(
+                pc.fill_null(pc.cast(batch.column(text_col), pa.string()),
+                             "")).cast(pa.int64()),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+        })
+        agg = (t.group_by(["conv_id", "role"], use_threads=False)
+               .aggregate([("chars", "count"), ("chars", "sum"),
+                           ("turn_idx", "max")]))
+        return agg.rename_columns(
+            ["conv_id", "role", "n", "chars", "max_turn"])
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["conv_id", "role"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("chars", alias_name="chars"),
+                   Max("max_turn", alias_name="max_turn"))
+        .to_pandas()
+    )
+    out = {
+        "n_turns": int(rows["n"].sum()) if len(rows) else 0,
+        "n_convs": int(rows["conv_id"].nunique()) if len(rows) else 0,
+        "total_chars": int(rows["chars"].sum()) if len(rows) else 0,
+        "max_turn_idx": int(rows["max_turn"].max()) if len(rows) else 0,
+        "n_roles": int(rows["role"].nunique()) if len(rows) else 0,
+    }
+    if len(rows):
+        per_role = rows.groupby("role", sort=True)["n"].sum()
+        for role, n in per_role.items():
+            out[f"turns_role_{role}"] = int(n)
+    return pd.DataFrame({"metric": list(out.keys()),
+                         "value": pd.array(list(out.values()),
+                                           dtype="int64")})

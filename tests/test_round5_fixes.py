@@ -1775,3 +1775,30 @@ def test_incremental_prefix_dedup_planted(ray_session):
     kept = sorted(out["conv_id"])
     assert kept == ["new-2", "new-4"], kept
     assert out.set_index("conv_id").loc["new-4", "n_prefix_turns"] == 1
+
+
+def test_corpus_profile_planted(ray_session):
+    """corpus_profile: integer-exact counts, per-role rows, null text as
+    zero chars, empty corpus degrades to zeros with no role rows."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import corpus_profile
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 5, 0], pa.int64()),
+        "role": pa.array(["user", "assistant", "user"], pa.string()),
+        "text": pa.array(["abc", None, "de"], pa.string()),
+    })
+    out = corpus_profile(ray.data.from_arrow(t)).set_index("metric")["value"]
+    assert out["n_turns"] == 3 and out["n_convs"] == 2
+    assert out["total_chars"] == 5          # null counts 0
+    assert out["max_turn_idx"] == 5 and out["n_roles"] == 2
+    assert out["turns_role_user"] == 2 and out["turns_role_assistant"] == 1
+
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int64()),
+                      "role": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    out0 = corpus_profile(ray.data.from_arrow(empty)).set_index("metric")["value"]
+    assert out0["n_turns"] == 0 and "turns_role_user" not in out0.index
