@@ -239,6 +239,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep requires n_selfrep*den <= n_role_turns*num")
     cq.add_argument("--num-cpus", type=int, default=None)
 
+    pf = sub.add_parser("profile")
+    pf.add_argument("--input", required=True,
+                    help="transcript parquet (conv_id, turn_idx, role, text)")
+    pf.add_argument("--num-cpus", type=int, default=None)
+
     dp = sub.add_parser("dbscan")
     dp.add_argument("--input", required=True, help="parquet with id+embedding columns")
     dp.add_argument("--output", required=True)
@@ -529,6 +534,26 @@ def main(argv: list[str] | None = None) -> int:
             out = out.materialize()
             out.write_parquet(args.output)
             print(json.dumps({"pairs": out.count(), "out": args.output}))
+            return 0
+        finally:
+            if owned:
+                ray.shutdown()
+
+    if args.cmd == "profile":
+        # one-call corpus profile: tidy integer metric rows to stdout
+        ray, owned = _ray_init(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from chinese_corpus_cleaning_ray.pipelines.conversations import (
+                corpus_profile,
+            )
+
+            ds = rd.read_parquet(
+                args.input, columns=["conv_id", "turn_idx", "role", "text"])
+            df = corpus_profile(ds)
+            print(json.dumps(dict(zip(df["metric"],
+                                      (int(v) for v in df["value"])))))
             return 0
         finally:
             if owned:

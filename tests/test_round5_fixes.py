@@ -1802,3 +1802,77 @@ def test_corpus_profile_planted(ray_session):
                       "text": pa.array([], pa.string())})
     out0 = corpus_profile(ray.data.from_arrow(empty)).set_index("metric")["value"]
     assert out0["n_turns"] == 0 and "turns_role_user" not in out0.index
+
+
+def test_response_and_incr_dedup_hot_duplicate_skew(ray_session):
+    """A templated assistant answer repeated 5000x across conversations —
+    the batch-local pre-collapse valve must bound what ships, and keep-first
+    must land on the lexicographically smallest (conv_id, turn_idx)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import (
+        exact_dedup,
+        make_row_key,
+    )
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        incremental_prefix_dedup,
+    )
+
+    rows = []
+    for c in range(5000):
+        cid = f"c{c:05d}"
+        rows.append({"conv_id": cid, "turn_idx": 0, "role": "user",
+                     "text": f"q-{c}"})
+        rows.append({"conv_id": cid, "turn_idx": 1, "role": "assistant",
+                     "text": "I cannot help with that."})   # the hot template
+    ds = ray.data.from_items(rows, override_num_blocks=23)
+
+    def asst(b):
+        return make_row_key(b.filter(pc.equal(b.column("role"), "assistant")))
+
+    out = exact_dedup(ds.map_batches(asst, batch_format="pyarrow"),
+                      id_col="row_key", num_rows_hint=10_000).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_id"] == "c00000"
+
+    # hot PREFIX: 2500 new convs all share one committed conv's first turn
+    seen = [{"conv_id": "old", "turn_idx": 0, "role": "user", "text": "sys"}]
+    new = [{"conv_id": f"n{c:05d}", "turn_idx": 0, "role": "user",
+            "text": "sys"} for c in range(2500)]
+    new += [{"conv_id": "fresh", "turn_idx": 0, "role": "user",
+             "text": "different"}]
+    kept = incremental_prefix_dedup(
+        ray.data.from_items(new, override_num_blocks=17),
+        ray.data.from_items(seen), k=1).to_pandas()
+    assert list(kept["conv_id"]) == ["fresh"]
+
+
+def test_cli_profile(tmp_path):
+    """End-to-end: transcript parquet -> profile CLI -> one JSON line of
+    integer metrics."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["a", "a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int64()),
+        "role": pa.array(["user", "assistant", "user"], pa.string()),
+        "text": pa.array(["你好", "回答。", "hi"], pa.string()),
+    }), src)
+    out = subprocess.run(
+        [sys.executable, "-m", "chinese_corpus_cleaning_ray", "profile",
+         "--input", src, "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["n_turns"] == 3 and m["n_convs"] == 2
+    assert m["total_chars"] == 7
+    assert m["turns_role_user"] == 2
