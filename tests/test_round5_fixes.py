@@ -1876,3 +1876,51 @@ def test_cli_profile(tmp_path):
     assert m["n_turns"] == 3 and m["n_convs"] == 2
     assert m["total_chars"] == 7
     assert m["turns_role_user"] == 2
+
+
+def test_wave5_ops_layout_invariance(ray_session):
+    """Wave-5 outputs are invariant to input block layout (1 block vs 29
+    blocks) — the per-batch pre-prunes and partials must compose to the
+    same global answer."""
+    import ray
+    import pandas as pd
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_qa_gate,
+        corpus_profile,
+        incremental_prefix_dedup,
+        split_conversation_sessions,
+    )
+
+    rows = []
+    for c in range(40):
+        for i in range(c % 7 + 1):
+            rows.append({"conv_id": f"c{c:03d}", "turn_idx": i,
+                         "role": ["user", "assistant", "tool"][i % 3],
+                         "text": f"t-{c}-{i}。" if i % 4 else "```open",
+                         "ts_s": i * 900 + c})
+
+    def run(nblocks):
+        ds = ray.data.from_items(rows, override_num_blocks=nblocks)
+        gate = (conversation_qa_gate(ds).to_pandas()
+                .sort_values("conv_id").reset_index(drop=True))
+        prof = (corpus_profile(ds)
+                .sort_values("metric").reset_index(drop=True))
+        sess = (split_conversation_sessions(ds, gap_seconds=1000).to_pandas()
+                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        seen = ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.less(b.column("conv_id"), "c020")),
+            batch_format="pyarrow")
+        new = ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.greater_equal(b.column("conv_id"), "c020")),
+            batch_format="pyarrow")
+        incr = (incremental_prefix_dedup(new, seen, k=2).to_pandas()
+                .sort_values("conv_id").reset_index(drop=True))
+        return gate, prof, sess, incr
+
+    a = run(1)
+    b = run(29)
+    for x, y in zip(a, b):
+        pd.testing.assert_frame_equal(x, y)
