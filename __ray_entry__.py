@@ -1324,6 +1324,50 @@ def _q_transcripts_profile(sf_dir: str):
     return df.sort_values("metric", kind="mergesort").reset_index(drop=True)
 
 
+def _q_transcripts_qa_pipeline(sf_dir: str):
+    """Composed: conversation_qa_gate keepers -> semi_filter the turn
+    stream -> surviving turns (conv_id, turn_idx, role). Uses the same
+    double injection as transcripts_conv_qa_gate so the gate
+    discriminates. The corpus side never joins — keeper conv_ids broadcast
+    through semi_filter."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        conversation_qa_gate,
+    )
+    from chinese_corpus_cleaning_ray.stages.dedup_stage import semi_filter
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        s = batch.column("text").to_pandas().astype(str)
+        s = s.where(turn % 7 > 3, "抱歉，让我重试一次。")
+        s = s.where(doc % 7 != 3, s + "\n```python")
+        s = s.where(doc % 7 != 5, "```" + s + "```" + "。")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(s, pa.string()))
+
+    injected = ds.map_batches(inject, batch_format="pyarrow")
+
+    def keepers(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep")).select(["conv_id"])
+
+    kept = conversation_qa_gate(injected).map_batches(
+        keepers, batch_format="pyarrow")
+    out, _ = semi_filter(injected.select_columns(
+        ["conv_id", "turn_idx", "role"]), kept, "conv_id")
+    df = out.to_pandas()
+    if not len(df):
+        df = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                           "turn_idx": pd.Series([], dtype="int64"),
+                           "role": pd.Series([], dtype=object)})
+    df = df.sort_values(["conv_id", "turn_idx"],
+                        kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2893,10 +2937,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_response_dedup": _q_transcripts_response_dedup,
         "transcripts_incr_prefix_dedup": _q_transcripts_incr_prefix_dedup,
         "transcripts_profile": _q_transcripts_profile,
+        "transcripts_qa_pipeline": _q_transcripts_qa_pipeline,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
-        "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
@@ -2913,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
@@ -4583,6 +4628,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'turns_role_' || role, CAST(count(*) AS BIGINT)
                 FROM t GROUP BY role
             ) ORDER BY metric
+        """,
+        # composed gate -> stream filter: the qa_gate keep set restated,
+        # then the turn stream semi-joined on it — mirrors
+        # _q_transcripts_qa_pipeline (conversation_qa_gate + semi_filter)
+        "transcripts_qa_pipeline": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx, role,
+                              CASE WHEN doc_id % 7 = 3
+                                       THEN t1 || chr(10) || '```python'
+                                   WHEN doc_id % 7 = 5
+                                       THEN '```' || t1 || '```' || '。'
+                                   ELSE t1 END AS text
+                       FROM (SELECT *,
+                                    CASE WHEN turn_idx % 7 <= 3
+                                         THEN '抱歉，让我重试一次。'
+                                         ELSE text END AS t1
+                             FROM t)),
+                 a AS (SELECT conv_id, max(turn_idx) AS mx
+                       FROM e GROUP BY conv_id),
+                 j AS (SELECT a.conv_id, e.role AS last_role, e.text
+                       FROM a JOIN e ON e.conv_id = a.conv_id
+                                    AND e.turn_idx = a.mx),
+                 m AS (SELECT conv_id, last_role,
+                              CAST((length(text) - length(replace(text, '```', ''))) / 3
+                                   AS BIGINT) AS nf,
+                              rtrim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                          || chr(11) || chr(12)) AS t2
+                       FROM j),
+                 c AS (SELECT conv_id,
+                              (last_role = 'assistant' AND nf % 2 = 0 AND
+                               CASE WHEN length(t2) = 0 THEN FALSE
+                                    WHEN right(t2, 1) IN ('。','！','？','.',
+                                                          '!','?','…','"',
+                                                          '」','）',')')
+                                        THEN TRUE
+                                    ELSE FALSE END) AS conv_complete
+                       FROM m),
+                 r0 AS (SELECT conv_id, text,
+                               lag(text) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS prev
+                        FROM e WHERE role = 'assistant'),
+                 r AS (SELECT conv_id, count(*) AS n_role_turns,
+                              CAST(COALESCE(sum(CASE WHEN text = prev
+                                                     THEN 1 ELSE 0 END), 0)
+                                   AS BIGINT) AS n_selfrep
+                       FROM r0 GROUP BY conv_id),
+                 s0 AS (SELECT conv_id, min(turn_idx) AS mn
+                        FROM e GROUP BY conv_id),
+                 s AS (SELECT s0.conv_id, e.role = 'user' AS starts_with_user
+                       FROM s0 JOIN e ON e.conv_id = s0.conv_id
+                                     AND e.turn_idx = s0.mn),
+                 g AS (SELECT c.conv_id
+                       FROM c JOIN s ON s.conv_id = c.conv_id
+                            LEFT JOIN r ON r.conv_id = c.conv_id
+                       WHERE c.conv_complete
+                         AND COALESCE(r.n_selfrep, 0) * 5
+                             <= COALESCE(r.n_role_turns, 0)
+                         AND COALESCE(r.n_role_turns, 0) > 0
+                         AND s.starts_with_user)
+            SELECT e.conv_id, e.turn_idx, e.role
+            FROM e JOIN g ON g.conv_id = e.conv_id
+            ORDER BY e.conv_id, e.turn_idx
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors
