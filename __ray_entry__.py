@@ -1368,6 +1368,40 @@ def _q_transcripts_qa_pipeline(sf_dir: str):
     return df
 
 
+def _q_transcripts_tool_latency(sf_dir: str):
+    """Per-tool call latency: tool turn -> next turn's ts, same
+    deterministic ts as transcripts_turn_latency. The derived corpus has
+    one tool ('db_query'); the query widens it deterministically
+    (doc_id % 5 == 2 tool turns become 'web_search') so the per-tool
+    grouping is exercised. Mirrors
+    pipelines/conversations.py:tool_latency_stats."""
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        tool_latency_stats,
+    )
+
+    ds = _transcripts_ds(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ts = (turn.astype(np.int64) * 60 + doc.astype(np.int64) % 37)
+        tool = batch.column("tool").to_pandas()
+        tool = tool.where(~((tool != "") & (doc % 5 == 2)), "web_search")
+        batch = batch.set_column(
+            batch.schema.get_field_index("tool"), "tool",
+            pa.array(tool, pa.string()))
+        return batch.append_column("ts_s", pa.array(ts, pa.int64()))
+
+    out = tool_latency_stats(ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("tool",
+                                     kind="mergesort").reset_index(drop=True)
+    for c in ("n_calls", "sum_gap_s", "max_gap_s"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _q_transcripts_quality(sf_dir: str):
     from chinese_corpus_cleaning_ray.config import DEFAULT_CONFIG
     from chinese_corpus_cleaning_ray.pipelines.quality import build_quality_pipeline
@@ -2938,10 +2972,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_incr_prefix_dedup": _q_transcripts_incr_prefix_dedup,
         "transcripts_profile": _q_transcripts_profile,
         "transcripts_qa_pipeline": _q_transcripts_qa_pipeline,
+        "transcripts_tool_latency": _q_transcripts_tool_latency,
         # -- tier 2: oracled, driver-green in r04 --
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
-        "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_char_rank": _q_doc_char_rank,
         "doc_quality_probe": _q_doc_quality_probe,
         "events_heavy_hitters": _q_events_heavy_hitters,
@@ -2957,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": _q_doc_dsir_sample,
         # -- tier 3: oracled variants, driver-green in r04, outside window --
         "doc_quantile_filter": _q_doc_quantile_filter,
+        "doc_incremental_substring": _q_doc_incremental_substring,
         "doc_duplicate_components": _q_doc_duplicate_components,
         "doc_jaccard_dedup": _q_doc_jaccard_dedup,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
@@ -4690,6 +4725,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.conv_id, e.turn_idx, e.role
             FROM e JOIN g ON g.conv_id = e.conv_id
             ORDER BY e.conv_id, e.turn_idx
+        """,
+        # per-tool call latency: lead gap within conv, filtered to tool
+        # turns with a next turn, grouped per tool — mirrors
+        # pipelines/conversations.py:tool_latency_stats
+        "transcripts_tool_latency": f"""
+            WITH t AS ({_DERIVE_SQL}),
+                 e AS (SELECT conv_id, turn_idx,
+                              CASE WHEN tool <> '' AND doc_id % 5 = 2
+                                   THEN 'web_search' ELSE tool END AS tool,
+                              turn_idx * 60 + doc_id % 37 AS ts_s
+                       FROM t),
+                 l AS (SELECT conv_id, tool,
+                              lead(ts_s) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) - ts_s AS gap
+                       FROM e)
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+                   CAST(max(gap) AS BIGINT) AS max_gap_s
+            FROM l WHERE tool <> '' AND gap IS NOT NULL
+            GROUP BY tool ORDER BY tool
         """,
         # conversation-level majority language: per-conv (lang, n) exact
         # counts, argmax with lang-ascending tie-break — mirrors

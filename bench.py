@@ -106,7 +106,7 @@ def run_bench() -> dict:
                      "transcripts_turn_latency", "transcripts_session_split",
                      "transcripts_conv_qa_gate", "transcripts_response_dedup",
                      "transcripts_incr_prefix_dedup", "transcripts_profile",
-                     "transcripts_qa_pipeline"):
+                     "transcripts_qa_pipeline", "transcripts_tool_latency"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -1360,3 +1360,68 @@ def corpus_profile(ds, text_col: str = "text"):
     return pd.DataFrame({"metric": list(out.keys()),
                          "value": pd.array(list(out.values()),
                                            dtype="int64")})
+
+
+def tool_latency_stats(ds, ts_col: str = "ts_s", tool_col: str = "tool",
+                       shards: int = 256):
+    """Per-TOOL call latency over agent transcripts: for every turn with a
+    non-empty ``tool_col``, latency = next turn's ts - this turn's ts
+    (turn_idx order within the conversation) — the time the conversation
+    waited on that tool. One row per tool: (tool, n_calls:int64,
+    sum_gap_s:int64, max_gap_s:int64). Tool calls that end their
+    conversation have no next turn and are excluded from all three counts.
+
+    Exact semantics (bit-restatable in SQL): gap = lead(ts_s) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx) - ts_s; aggregate over rows
+    WHERE tool <> '' AND gap IS NOT NULL.
+
+    Plan: text is never read; conv-shard over (conv, turn, tool, ts) rows
+    -> per-shard sorted lead-diff + per-tool partial aggregate (one row
+    per tool per shard) -> global groupby-sum over <= shards x tools
+    rows."""
+    from ray.data.aggregate import Max, Sum
+
+    if shards < 1 or shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two; got {shards}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["conv_id", "turn_idx", tool_col, ts_col])
+        keys = pd.Series(batch.column("conv_id").to_pandas())
+        sh = (pd.util.hash_pandas_object(keys, index=False).to_numpy()
+              % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(sh))
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                                 "n_calls": pd.Series([], dtype=np.int64),
+                                 "sum_gap_s": pd.Series([], dtype=np.int64),
+                                 "max_gap_s": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        tool = g[tool_col].fillna("").to_numpy()
+        has_next = np.zeros(len(g), dtype=bool)
+        has_next[:-1] = conv[:-1] == conv[1:]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        m = has_next & (tool != "")
+        if not m.any():
+            return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                                 "n_calls": pd.Series([], dtype=np.int64),
+                                 "sum_gap_s": pd.Series([], dtype=np.int64),
+                                 "max_gap_s": pd.Series([], dtype=np.int64)})
+        agg = (pd.DataFrame({"tool": tool[m], "gap": gap[m]})
+               .groupby("tool", sort=False)["gap"]
+               .agg([("n_calls", "size"), ("sum_gap_s", "sum"),
+                     ("max_gap_s", "max")]).reset_index())
+        for c in ("n_calls", "sum_gap_s", "max_gap_s"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__shard").map_groups(partials, batch_format="pandas")
+            .groupby("tool")
+            .aggregate(Sum("n_calls", alias_name="n_calls"),
+                       Sum("sum_gap_s", alias_name="sum_gap_s"),
+                       Max("max_gap_s", alias_name="max_gap_s")))

@@ -107,7 +107,7 @@ def test_oracle_keys_subset(entry_mod):
     "transcripts_turn_latency", "transcripts_session_split",
     "transcripts_conv_qa_gate", "transcripts_response_dedup",
     "transcripts_incr_prefix_dedup", "transcripts_profile",
-    "transcripts_qa_pipeline",
+    "transcripts_qa_pipeline", "transcripts_tool_latency",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _to_df(entry_mod.queries()[name](SF_DIR))

@@ -1924,3 +1924,30 @@ def test_wave5_ops_layout_invariance(ray_session):
     b = run(29)
     for x, y in zip(a, b):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_tool_latency_stats_planted(ray_session):
+    """tool_latency_stats: per-tool grouping, conv-final tool calls
+    excluded, gaps cross tool boundaries correctly."""
+    import ray
+
+    from chinese_corpus_cleaning_ray.pipelines.conversations import (
+        tool_latency_stats,
+    )
+
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "tool": "", "ts_s": 0},
+        {"conv_id": "a", "turn_idx": 1, "tool": "db", "ts_s": 10},    # gap 5
+        {"conv_id": "a", "turn_idx": 2, "tool": "", "ts_s": 15},
+        {"conv_id": "a", "turn_idx": 3, "tool": "web", "ts_s": 20},   # gap 30
+        {"conv_id": "a", "turn_idx": 4, "tool": "db", "ts_s": 50},    # conv-final: excluded
+        {"conv_id": "b", "turn_idx": 0, "tool": "db", "ts_s": 100},   # gap 7
+        {"conv_id": "b", "turn_idx": 1, "tool": "", "ts_s": 107},
+    ]
+    out = (tool_latency_stats(ray.data.from_items(rows,
+                                                  override_num_blocks=3))
+           .to_pandas().set_index("tool").sort_index())
+    assert list(out.index) == ["db", "web"]
+    assert out.loc["db", "n_calls"] == 2
+    assert out.loc["db", "sum_gap_s"] == 12 and out.loc["db", "max_gap_s"] == 7
+    assert out.loc["web", "n_calls"] == 1 and out.loc["web", "max_gap_s"] == 30
